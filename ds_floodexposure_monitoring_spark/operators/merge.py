@@ -1,0 +1,213 @@
+"""MERGE INTO the lake table: prune → resolve by key → rewrite → commit.
+
+Semantics of ``MERGE INTO t USING batch ON t.key = batch.key
+WHEN MATCHED AND batch.lsn >= t._lsn THEN UPDATE WHEN NOT MATCHED THEN
+INSERT`` — i.e. Iceberg MERGE with *order-corrected* last-writer-wins:
+a late-arriving event with a lower LSN than what the table already
+holds loses (the reference analog is the idempotent skip of
+already-processed keys, src/datasources/floodscan.py:101-107,:196-202,
+generalized from "skip" to "older writer loses").
+
+Physical plan, built for 100 TB:
+
+1. **Prune** (the reference's "recompute only changed region-days",
+   floodscan.py:196-213): a tiny per-bucket census of the batch
+   (≤ n_buckets rows collected) selects only the table files whose
+   (bucket, min/max key range) overlap the batch. Untouched files carry
+   over into the new snapshot by metadata reference only — zero I/O.
+2. **Resolve**: affected files ∪ batch, then ONE hash aggregation
+   ``groupBy(merge keys) → max_by(payload, (lsn, is_batch))``. This
+   fuses per-batch dedup and merge resolution into a single shuffle
+   with map-side partial aggregation — there is no separate dedup pass,
+   no window sort, and no join. Batch wins LSN ties (MERGE matched ⇒
+   update).
+3. **Rewrite**: winners are salted-split per bucket (operators/skew.py)
+   so hot conversations fan out over multiple write tasks/files, then
+   written ``partitionBy(bucket)``; per-file key stats come from one
+   columnar scan of the key column.
+4. **Commit**: atomic snapshot swap carrying the batch_id (exactly-once
+   anchor, streaming/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.lake import LSN_COL, TOMBSTONE_COL, DataFile, LakeTable
+from .evolve import align_to_schema, evolve_schema
+from .skew import plan_bucket_splits, with_salted_split
+
+
+@dataclass
+class MergeStats:
+    batch_rows: int
+    distinct_keys: int
+    dedup_dropped: int
+    updated: int
+    inserted: int
+    deleted: int
+    carried_rows: int
+    removed_files: int
+    added_files: int
+    rows_written: int
+    snapshot_version: int
+    schema_added: list[str]
+    schema_widened: list[tuple[str, str, str]]
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+
+def merge_into(
+    table: LakeTable,
+    batch_df: DataFrame,
+    lsn_col: str = "lsn",
+    op_col: str | None = None,
+    delete_op: str = "D",
+    batch_id: str | None = None,
+    target_rows_per_file: int = 2_000_000,
+) -> MergeStats:
+    """Apply one CDC batch (pre-deduplicated or not) to the table.
+
+    ``op_col`` names the CDC envelope operation column; rows whose op is
+    ``delete_op`` become persisted tombstones (WHEN MATCHED ... DELETE,
+    order-corrected: a tombstone keeps competing by LSN across batches,
+    so a stale pre-delete update can never resurrect the row). Envelope
+    columns never enter the table schema."""
+    spark = table.spark
+    cur = table.current()
+    keys = table.merge_keys
+
+    # ---- strip the CDC envelope; schema evolution on payload only
+    envelope = [c for c in ([op_col] if op_col else []) if c in batch_df.columns]
+    batch_payload_schema = batch_df.drop(lsn_col, *envelope).schema
+    evo = evolve_schema(table.schema(), batch_payload_schema)
+    write_schema = evo.schema
+    schema_version = cur["schema_version"] + (1 if evo.changed else 0)
+
+    src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
+    if op_col and op_col in batch_df.columns:
+        src = src.withColumn(TOMBSTONE_COL, F.col(op_col) == F.lit(delete_op)).drop(op_col)
+    else:
+        src = src.withColumn(TOMBSTONE_COL, F.lit(False))
+    batch = align_to_schema(src, write_schema, keep_extra=[LSN_COL, TOMBSTONE_COL])
+    batch = batch.withColumn("b", table.bucket_expr()).persist()
+    try:
+        # ---- per-bucket census: counts + key ranges (tiny collect)
+        key0 = keys[0]
+        census = (
+            batch.groupBy("b")
+            .agg(F.count("*").alias("n"), F.min(key0).alias("mn"), F.max(key0).alias("mx"))
+            .collect()
+        )
+        batch_rows = sum(r["n"] for r in census)
+        if batch_rows == 0:
+            snap = table.commit(set(), [], batch_id=batch_id, operation="merge-empty")
+            return MergeStats(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, snap["version"], [], [])
+        ranges = {r["b"]: (r["mn"], r["mx"], r["n"]) for r in census}
+
+        # ---- prune candidate files by (bucket, key-range) overlap
+        candidates = []
+        for f in table.files(cur):
+            rng = ranges.get(f.bucket)
+            if rng is None:
+                continue
+            if f.min_key is not None and f.max_key is not None:
+                if f.max_key < rng[0] or f.min_key > rng[1]:
+                    continue
+            candidates.append(f)
+        removed_paths = {f.path for f in candidates}
+
+        existing = table.scan(files=candidates, include_internal=True)
+        existing = align_to_schema(
+            existing, write_schema, keep_extra=[LSN_COL, TOMBSTONE_COL]
+        ).withColumn(TOMBSTONE_COL, F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).withColumn(
+            "_src", F.lit(0)
+        )
+        batch_side = batch.drop("b").withColumn("_src", F.lit(1))
+        combined = existing.unionByName(batch_side)
+
+        # ---- single-shuffle resolve: LWW with batch winning LSN ties
+        payload = [c for c in write_schema.fieldNames() if c not in keys]
+        winner_struct = F.struct(
+            *[F.col(c) for c in payload], F.col(LSN_COL), F.col(TOMBSTONE_COL), F.col("_src")
+        )
+        order_struct = F.struct(F.col(LSN_COL), F.col("_src"))
+        resolved = (
+            combined.groupBy(*keys)
+            .agg(
+                F.max_by(winner_struct, order_struct).alias("_w"),
+                F.sum(F.when(F.col("_src") == 0, 1).otherwise(0)).alias("_n_table"),
+                F.sum(F.col("_src")).alias("_n_batch"),
+            )
+            .select(
+                *keys,
+                *[F.col(f"_w.{c}").alias(c) for c in payload],
+                F.col(f"_w.{LSN_COL}").alias(LSN_COL),
+                F.col(f"_w.{TOMBSTONE_COL}").alias(TOMBSTONE_COL),
+                F.col("_w._src").alias("_wsrc"),
+                "_n_table",
+                "_n_batch",
+            )
+            .persist()
+        )
+
+        live = ~F.col(TOMBSTONE_COL)
+        agg = resolved.agg(
+            F.count("*").alias("rows"),
+            F.sum(
+                F.when((F.col("_wsrc") == 1) & (F.col("_n_table") > 0) & live, 1).otherwise(0)
+            ).alias("updated"),
+            F.sum(
+                F.when((F.col("_wsrc") == 1) & (F.col("_n_table") == 0) & live, 1).otherwise(0)
+            ).alias("inserted"),
+            F.sum(F.when((F.col("_wsrc") == 1) & ~live, 1).otherwise(0)).alias("deleted"),
+            F.sum(F.when(F.col("_wsrc") == 0, 1).otherwise(0)).alias("carried"),
+            F.sum(F.when(F.col("_n_batch") > 0, 1).otherwise(0)).alias("batch_keys"),
+        ).collect()[0]
+
+        # ---- skew-aware rewrite: splits sized from merged bucket rows
+        existing_rows_per_bucket: dict[int, int] = {}
+        for f in candidates:
+            existing_rows_per_bucket[f.bucket] = existing_rows_per_bucket.get(f.bucket, 0) + f.rows
+        merged_counts = [
+            (b, ranges.get(b, (None, None, 0))[2] + existing_rows_per_bucket.get(b, 0))
+            for b in set(ranges) | set(existing_rows_per_bucket)
+        ]
+        splits = plan_bucket_splits(merged_counts, target_rows_per_file)
+
+        to_write = resolved.drop("_wsrc", "_n_table", "_n_batch").withColumn(
+            "b", table.bucket_expr()
+        )
+        to_write = with_salted_split(to_write, "b", splits, salt_cols=keys)
+        new_files = table.write_data_files(to_write, write_schema, schema_version)
+        resolved.unpersist()
+
+        snap = table.commit(
+            removed_paths,
+            new_files,
+            new_schema=write_schema if evo.changed else None,
+            batch_id=batch_id,
+            operation="merge",
+            summary_extra={"batch_rows": batch_rows},
+        )
+        return MergeStats(
+            batch_rows=batch_rows,
+            distinct_keys=int(agg["batch_keys"]),
+            dedup_dropped=batch_rows - int(agg["batch_keys"]),
+            updated=int(agg["updated"]),
+            inserted=int(agg["inserted"]),
+            deleted=int(agg["deleted"]),
+            carried_rows=int(agg["carried"]),
+            removed_files=len(removed_paths),
+            added_files=len(new_files),
+            rows_written=int(agg["rows"]),
+            snapshot_version=snap["version"],
+            schema_added=evo.added_columns,
+            schema_widened=evo.widened_columns,
+        )
+    finally:
+        batch.unpersist()

@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults follow the survey's physical-execution notes (SURVEY.md §4):
+AQE on (runtime re-plan + skew-join split + partition coalescing),
+shuffle partitions ~2-3x cores locally (on a real cluster this would be
+2-3x total executor cores), Arrow enabled for the vectorized pandas-UDF
+paths, and UTC session time so results compare bit-for-bit against the
+DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ds-floodexposure-monitoring-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falls back to
+    ``local[*]``). On a real cluster, pass ``None`` and let
+    spark-submit supply the master; every conf here remains valid.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    n_threads = _parse_local_threads(master)
+    if shuffle_partitions is None:
+        # ~2x cores: enough parallelism without tiny-task overhead.
+        shuffle_partitions = max(2 * n_threads, 8) if n_threads else 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _parse_local_threads(master: str) -> int | None:
+    """Return thread count for a local[...] master, else None."""
+    if not master.startswith("local"):
+        return None
+    if master == "local":
+        return 1
+    inner = master[master.index("[") + 1 : master.index("]")]
+    if inner == "*":
+        return os.cpu_count() or 4
+    try:
+        return int(inner)
+    except ValueError:
+        return None

@@ -1,0 +1,198 @@
+"""WAL/binlog-tail reader: offset-ordered change-event files.
+
+The generalization of the reference's blob-prefix discovery + filename
+parsing + skip-processed anti-join
+(reference: src/datasources/floodscan.py:44-51 listing, :54-58 watermark
+prefilter, :97-99 filename→key parse, :64-68/:196-202 processed-set
+skip, :74-87 batch_size micro-batching).
+
+Layout: ``root/shard=S/events-<start_seq>-<end_seq>.parquet`` where seq
+is the per-shard *arrival* offset (Kafka-offset analog; lsn order within
+is only approximate — out-of-order delivery is corrected downstream by
+LSN last-writer-wins).
+
+Discovery is metadata-only (filename ranges), so watermark pruning —
+"only files past the per-shard offset" — happens before any data read,
+exactly like the reference pruning to current-year filenames before
+opening any raster. Batch planning is deterministic: given the same
+files and offsets, the same batch comes back (exactly-once replay
+detection keys on this).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.evolve import align_to_schema, evolve_schema
+from .lake import DataFile  # noqa: F401  (re-export convenience)
+
+from ..datagen.transcripts import parse_changelog_filename
+
+
+@dataclass(frozen=True)
+class ChangeFile:
+    shard: int
+    start_seq: int  # first arrival offset in the file (inclusive)
+    end_seq: int    # last arrival offset (inclusive)
+    path: str
+
+    @property
+    def n_events(self) -> int:
+        return self.end_seq - self.start_seq + 1
+
+
+@dataclass
+class MicroBatch:
+    """A planned batch: per-shard contiguous offset ranges (start, end]."""
+
+    files: list[ChangeFile]
+    offsets_before: dict[int, int]
+    offsets_after: dict[int, int]
+    batch_seq: int
+
+    @property
+    def n_events(self) -> int:
+        return sum(f.n_events for f in self.files)
+
+    @property
+    def batch_id(self) -> str:
+        """Deterministic id of the consumed offset ranges — the
+        exactly-once replay-detection key."""
+        payload = json.dumps(
+            {
+                "before": {str(k): v for k, v in sorted(self.offsets_before.items())},
+                "after": {str(k): v for k, v in sorted(self.offsets_after.items())},
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+@dataclass
+class ChangelogReader:
+    spark: SparkSession
+    root: str
+    max_events_per_batch: int = 1_000_000
+    _schema_cache: dict[str, T.StructType] = field(default_factory=dict)
+
+    # ------------------------------------------------------------ discovery
+    def discover(self, offsets: dict[int, int] | None = None) -> list[ChangeFile]:
+        """All files strictly past the per-shard watermark, offset order.
+
+        Pruning uses only filename metadata — no file is opened.
+        """
+        offsets = offsets or {}
+        out: list[ChangeFile] = []
+        for shard_dir in sorted(glob.glob(os.path.join(self.root, "shard=*"))):
+            shard = int(shard_dir.split("=")[-1])
+            wm = offsets.get(shard, 0)
+            for p in sorted(glob.glob(os.path.join(shard_dir, "events-*.parquet"))):
+                rng = parse_changelog_filename(p)
+                if rng is None:
+                    continue
+                start, end = rng
+                if end <= wm:
+                    continue  # already consumed — watermark prune
+                out.append(ChangeFile(shard, start, end, p))
+        out.sort(key=lambda f: (f.start_seq, f.shard))
+        return out
+
+    # ------------------------------------------------------------ planning
+    def plan_batch(self, offsets: dict[int, int], batch_seq: int) -> MicroBatch | None:
+        """Next deterministic micro-batch: files in arrival order across
+        shards until ``max_events_per_batch`` (always ≥1 file)."""
+        available = self.discover(offsets)
+        if not available:
+            return None
+        picked: list[ChangeFile] = []
+        total = 0
+        for f in available:
+            if picked and total + f.n_events > self.max_events_per_batch:
+                break
+            picked.append(f)
+            total += f.n_events
+        after = dict(offsets)
+        for f in picked:
+            after[f.shard] = max(after.get(f.shard, 0), f.end_seq)
+        return MicroBatch(picked, dict(offsets), after, batch_seq)
+
+    # ------------------------------------------------------------ reading
+    def _file_schema(self, path: str) -> T.StructType:
+        """Arrow-footer schema peek (metadata-only, no row reads)."""
+        if path not in self._schema_cache:
+            import pyarrow.parquet as pq
+
+            arrow_schema = pq.read_schema(path)
+            self._schema_cache[path] = T.StructType.fromJson(
+                json.loads(
+                    self.spark.createDataFrame([], schema=_arrow_to_ddl(arrow_schema)).schema.json()
+                )
+            )
+        return self._schema_cache[path]
+
+    def read_batch(self, batch: MicroBatch) -> DataFrame:
+        """Read a planned batch, unifying mid-stream schema changes.
+
+        Files are grouped by their parquet schema; each group is read
+        with its exact schema; groups are aligned to the *widest* schema
+        (evolve rules: add-column, type-widen) and unioned. At 10^10
+        scale a batch holds bounded file counts, so the footer peeks are
+        cheap; row data is only ever read by Spark's vectorized reader.
+        """
+        assert batch.files
+        groups: dict[str, tuple[T.StructType, list[str]]] = {}
+        for f in batch.files:
+            s = self._file_schema(f.path)
+            key = s.json()
+            groups.setdefault(key, (s, []))[1].append(f.path)
+
+        # Widest schema across groups via pairwise evolution.
+        schemas = [s for s, _ in groups.values()]
+        target = schemas[0]
+        for s in schemas[1:]:
+            target = evolve_schema(target, s).schema
+
+        parts = []
+        for s, paths in groups.values():
+            df = self.spark.read.schema(s).parquet(*paths)
+            parts.append(align_to_schema(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+def _arrow_to_ddl(arrow_schema) -> str:
+    """Map an Arrow schema to a Spark DDL string (flat columns only)."""
+    import pyarrow as pa
+
+    mapping = {
+        pa.int8(): "tinyint",
+        pa.int16(): "smallint",
+        pa.int32(): "int",
+        pa.int64(): "bigint",
+        pa.float32(): "float",
+        pa.float64(): "double",
+        pa.string(): "string",
+        pa.large_string(): "string",
+        pa.bool_(): "boolean",
+        pa.date32(): "date",
+        pa.binary(): "binary",
+    }
+    cols = []
+    for f in arrow_schema:
+        if pa.types.is_timestamp(f.type):
+            t = "timestamp"
+        else:
+            t = mapping.get(f.type)
+            if t is None:
+                raise ValueError(f"unsupported arrow type {f.type} for column {f.name}")
+        cols.append(f"{f.name} {t}")
+    return ", ".join(cols)

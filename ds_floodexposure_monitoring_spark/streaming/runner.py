@@ -1,0 +1,108 @@
+"""Micro-batch CDC pipeline: plan → read → merge (dedup fused) → commit
+→ checkpoint → metrics.
+
+Deterministic batch loop with Trigger.AvailableNow semantics
+(SURVEY.md §7.2): simpler and exactly-once-provable vs a long-running
+Structured Streaming query on a filesystem source; a streaming adapter
+over the same merge lives in streaming/stream.py. The reference analog
+is the batch_size=100 polling loop (src/datasources/floodscan.py:70-87)
+made transactional and resumable.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from ..operators.merge import MergeStats, merge_into
+from ..sources.changelog import ChangelogReader, MicroBatch
+from ..sources.lake import LakeTable
+from .checkpoint import CheckpointStore
+from .lineage import MetricsLog
+
+
+@dataclass
+class BatchResult:
+    batch: MicroBatch
+    stats: MergeStats | None  # None when the batch was a detected replay
+    replayed: bool
+    wall_ms: float
+
+
+class CDCPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        changelog_dir: str,
+        table: LakeTable,
+        checkpoint_dir: str,
+        metrics_dir: str | None = None,
+        max_events_per_batch: int = 1_000_000,
+        target_rows_per_file: int = 2_000_000,
+    ):
+        self.spark = spark
+        self.reader = ChangelogReader(spark, changelog_dir, max_events_per_batch)
+        self.table = table
+        self.ckpt = CheckpointStore(checkpoint_dir)
+        self.metrics = MetricsLog(spark, metrics_dir) if metrics_dir else None
+        self.target_rows_per_file = target_rows_per_file
+
+    def run_once(self) -> BatchResult | None:
+        """Apply the next micro-batch; None if fully caught up."""
+        state = self.ckpt.read()
+        batch = self.reader.plan_batch(state.offsets, state.batch_seq + 1)
+        if batch is None:
+            return None
+        t0 = time.monotonic()
+
+        replayed = batch.batch_id in self.table.committed_batch_ids()
+        stats: MergeStats | None = None
+        if not replayed:
+            df = self.reader.read_batch(batch)
+            stats = merge_into(
+                self.table,
+                df,
+                op_col="op" if "op" in df.columns else None,
+                batch_id=batch.batch_id,
+                target_rows_per_file=self.target_rows_per_file,
+            )
+
+        state.offsets = batch.offsets_after
+        state.batch_seq = batch.batch_seq
+        state.last_batch_id = batch.batch_id
+        state.snapshot_version = self.table.version
+        self.ckpt.write(state)
+
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        if self.metrics is not None:
+            self.metrics.append(
+                {
+                    "batch_seq": batch.batch_seq,
+                    "batch_id": batch.batch_id,
+                    "offsets_before": batch.offsets_before,
+                    "offsets_after": batch.offsets_after,
+                    "snapshot_version": self.table.version,
+                    "events": batch.n_events,
+                    "dedup_dropped": stats.dedup_dropped if stats else 0,
+                    "merge_updated": stats.updated if stats else 0,
+                    "merge_inserted": stats.inserted if stats else 0,
+                    "carried_rows": stats.carried_rows if stats else 0,
+                    "files_removed": stats.removed_files if stats else 0,
+                    "files_added": stats.added_files if stats else 0,
+                    "wall_ms": wall_ms,
+                    "events_per_sec": batch.n_events / (wall_ms / 1000.0) if wall_ms > 0 else None,
+                    "replayed": replayed,
+                }
+            )
+        return BatchResult(batch, stats, replayed, wall_ms)
+
+    def run_until_caught_up(self, max_batches: int | None = None) -> list[BatchResult]:
+        out: list[BatchResult] = []
+        while max_batches is None or len(out) < max_batches:
+            r = self.run_once()
+            if r is None:
+                break
+            out.append(r)
+        return out
