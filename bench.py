@@ -1,0 +1,138 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a CDC-ingest
+replay of a generated transcript change log through the full engine
+(changelog → micro-batches → MERGE → snapshots).
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "cdc_events_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_daily_health",
+    "lww_state",
+    "cdc_merge_full",
+    "zonal_rollup",
+    "hierarchy_rollup",
+    "rolling_mean_range",
+    "rolling_mean_rows",
+    "rank_return_period",
+    "topk_per_group",
+    "quantile_buckets",
+    "asof_click_attribution",
+    "grid_multiply",
+    "anti_join_new_keys",
+    "embedding_knn",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "token_count",
+    "doc_fingerprint",
+    "quality_score",
+    "multimodal_decode",
+]
+
+CDC_EVENTS_PER_SF = 10_000_000  # sf0.1 -> 1M events
+
+
+def run_cdc_ingest(spark, sf_label: float, cpus: int) -> dict:
+    from ds_floodexposure_monitoring_spark.datagen import ChangeLogSpec, generate_changelog
+    from ds_floodexposure_monitoring_spark.datagen.transcripts import transcript_schema
+    from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+    from ds_floodexposure_monitoring_spark.streaming.runner import CDCPipeline
+
+    n_events = max(int(CDC_EVENTS_PER_SF * sf_label), 50_000)
+    root = tempfile.mkdtemp(prefix="benchcdc-")
+    try:
+        spec = ChangeLogSpec(
+            n_events=n_events,
+            n_convs=max(n_events // 50, 100),
+            n_shards=max(cpus // 4, 2),
+            dup_rate=0.05,
+            delete_rate=0.02,
+            ooo_window=1_000,
+            schema_change_at=None,
+            events_per_file=max(n_events // 16, 10_000),
+            seed=42,
+        )
+        generate_changelog(spark, spec, f"{root}/log")
+        table = LakeTable.create(
+            spark, f"{root}/table", transcript_schema(), n_buckets=max(4 * cpus, 64)
+        )
+        pipe = CDCPipeline(
+            spark,
+            f"{root}/log",
+            table,
+            f"{root}/ckpt",
+            metrics_dir=None,
+            max_events_per_batch=max(n_events // 4, 100_000),
+            target_rows_per_file=2_000_000,
+        )
+        t0 = time.monotonic()
+        results = pipe.run_until_caught_up()
+        wall = time.monotonic() - t0
+        total_events = sum(r.batch.n_events for r in results)
+        return {
+            "sec": wall,
+            "events": total_events,
+            "events_per_sec": total_events / wall,
+            "batches": len(results),
+            "final_rows": table.total_rows(),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_label = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from ds_floodexposure_monitoring_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    qs = entrymod.queries()
+
+    # one JVM/codegen warm-up run (not timed), then single timed runs
+    qs["zonal_rollup"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    cdc = run_cdc_ingest(spark, sf_label, cpus)
+    timings["cdc_ingest_replay"] = round(cdc["sec"], 3)
+
+    out = {
+        "metric": "headline query wall-time + CDC change-apply replay at sf",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label,
+        "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+        "cdc_events": cdc["events"],
+        "cdc_batches": cdc["batches"],
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

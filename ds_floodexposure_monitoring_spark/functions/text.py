@@ -1,0 +1,77 @@
+"""Text-analysis column expressions: tokenization, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure JVM-side column expressions (whole-stage codegen) — no Python
+UDFs. Each has an exact ANSI-SQL mirror used as the DuckDB oracle
+(plans/contract.py), so semantics are pinned, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic marker sets for the language-ID heuristic (the corpus is
+# a closed vocabulary; see plans/contract.py).
+EN_MARKERS = ("the", "a", "of")
+SQLISH_MARKERS = ("table", "row", "column", "join", "query")
+STOPWORDS = ("the", "a", "of", "and")
+
+TOKEN_RE = "[a-z0-9]+"  # BPE-ish word tokens; shared with oracle SQL
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (corpus is single-space separated)."""
+    return F.split(text, " ")
+
+
+def tokens(text: Column) -> Column:
+    """Regex tokenization — mirror of DuckDB regexp_extract_all."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+
+
+def count_in(ws: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens (with duplicates) fall in a marker set."""
+    return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+
+def lang_id_pred(ws: Column) -> Column:
+    """Tiny stopword-marker heuristic classifier (deterministic)."""
+    en = count_in(ws, EN_MARKERS)
+    sqlish = count_in(ws, SQLISH_MARKERS)
+    return (
+        F.when(en >= 2, F.lit("en"))
+        .when(sqlish >= 3, F.lit("sqlish"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(n_chars: Column, n_words: Column, n_stop: Column) -> Column:
+    """Length/stopword-ratio quality score in [0, 2]; SQL-mirrored."""
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    return F.round(
+        F.least(n_words.cast("double") / 50.0, F.lit(1.0))
+        + F.when((avg_word_len >= 3.0) & (avg_word_len <= 8.0), 0.5).otherwise(0.0)
+        + F.when(stop_ratio <= 0.3, 0.5).otherwise(0.0),
+        4,
+    )
+
+
+def fingerprint(ws: Column) -> Column:
+    """Positional polynomial document fingerprint (exact integer math).
+
+    sum over 1-based positions of ``pos * (ascii(word)*31 + len(word))``
+    mod 2^31-1 — a rolling-hash-style signature identical in Spark and
+    ANSI SQL (no engine-specific hash functions), so it is oracle-able.
+    """
+    body = F.aggregate(
+        F.zip_with(
+            ws,
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda w, i: i.cast("long") * (F.ascii(w) * 31 + F.length(w)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.pmod(body, F.lit(2147483647))

@@ -1,0 +1,619 @@
+"""Core driver-contract queries: the reference's relational/CDC/window
+operator shapes (SURVEY.md §2) re-expressed Spark-first, each with an
+exact DuckDB oracle.
+
+Determinism rules used throughout (SURVEY.md §7.3):
+- money sums go through DECIMAL(18,2) (inputs are 2-decimal by
+  construction) so both engines sum exactly, then cast to double;
+- float outputs are rounded (6 dp) on BOTH sides;
+- every ranking has a total tiebreak;
+- casts that diverge between engines (double→int) are made explicit
+  (floor) in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import dedup_last_writer
+from .spec import QuerySpec, table
+
+DEC = "decimal(18,2)"
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _reg(name: str, sql: str | None, note: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql, note)
+        return fn
+
+    return deco
+
+
+def _msum(c: str):
+    return F.sum(F.col(c).cast(DEC)).cast("double")
+
+
+# ---------------------------------------------------------------- CDC core
+@_reg(
+    "lww_state",
+    """
+    SELECT user_id, event_type, value, ts AS last_ts, event_id AS last_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="last-writer-wins dedup: reference upsert semantics (floodscan.py:285-293)",
+)
+def lww_state(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    out = dedup_last_writer(
+        ev, keys=("user_id", "event_type"), order_cols=("event_id",), strategy="agg"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+@_reg(
+    "cdc_merge_full",
+    """
+    SELECT user_id, event_type, value, ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="the REAL engine in the gate: 3 incremental MERGEs must equal one-shot LWW",
+)
+def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.merge import merge_into
+    from ..sources.lake import LakeTable
+
+    ev = table(spark, sf, "events").select("event_id", "user_id", "event_type", "value", "ts")
+    # schema derived from the source so timestamp NTZ/LTZ flavor matches
+    schema = T.StructType([f for f in ev.schema.fields if f.name != "event_id"])
+    tmp = tempfile.mkdtemp(prefix="cdcmerge-")
+    try:
+        t = LakeTable.create(
+            spark, f"{tmp}/t", schema, merge_keys=("user_id", "event_type"), n_buckets=8
+        )
+        hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+        cuts = [hi // 3, 2 * hi // 3, hi]
+        lo = -1
+        for c in cuts:
+            batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
+            merge_into(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
+            lo = c
+        # materialize before the temp dir vanishes
+        rows = t.scan().select("user_id", "event_type", "value", "ts").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_reg(
+    "anti_join_new_keys",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    note="update detection: anti-join of discovered vs processed (floodscan.py:196-202)",
+)
+def anti_join_new_keys(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_reg(
+    "semi_join_members",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    note="membership semi-join + IN-list (codab.py:29-31, database.py:106-110)",
+)
+def semi_join_members(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------- aggregation
+@_reg(
+    "zonal_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    note="zonal sum / partial agg with pushed-down date filter (floodscan.py:242-247)",
+)
+def zonal_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _msum("l_quantity").alias("sum_qty"),
+        _msum("l_extendedprice").alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_reg(
+    "hierarchy_rollup",
+    """
+    WITH base AS (
+      SELECT r.r_name, n.n_name, CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT '0' AS adm_level, r_name AS pcode, CAST(SUM(price) AS DOUBLE) AS total FROM base GROUP BY r_name
+    UNION ALL
+    SELECT '1', n_name, CAST(SUM(price) AS DOUBLE) FROM base GROUP BY n_name
+    """,
+    note="hierarchical rollup at N grains with literal level column (floodscan.py:263-281)",
+)
+def hierarchy_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf, "region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", F.col("o_totalprice").cast(DEC).alias("price"))
+    )
+    lvl0 = base.groupBy("r_name").agg(F.sum("price").cast("double").alias("total")).select(
+        F.lit("0").alias("adm_level"), F.col("r_name").alias("pcode"), "total"
+    )
+    lvl1 = base.groupBy("n_name").agg(F.sum("price").cast("double").alias("total")).select(
+        F.lit("1").alias("adm_level"), F.col("n_name").alias("pcode"), "total"
+    )
+    return lvl0.unionByName(lvl1)
+
+
+@_reg(
+    "region_member_agg",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS yr,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS region_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('CHINA', 'INDIA', 'JAPAN')
+    GROUP BY 1
+    """,
+    note="custom region = member list semi-join + group sum (floodscan.py:296-320)",
+)
+def region_member_agg(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = (
+        table(spark, sf, "nation")
+        .where(F.col("n_name").isin("CHINA", "INDIA", "JAPAN"))
+        .select("n_nationkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_semi")
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(_msum("o_totalprice").alias("region_total"))
+    )
+
+
+# ---------------------------------------------------------------- windows
+_DAILY_SQL = """
+      SELECT event_type, date_trunc('day', ts) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS daily_sum,
+             CAST(COUNT(*) AS BIGINT) AS daily_n
+      FROM events GROUP BY 1, 2
+"""
+
+
+def _daily(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).alias("daily_sum"),
+        F.count("*").alias("daily_n"),
+    )
+
+
+@_reg(
+    "rolling_mean_rows",
+    f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, day, CAST(daily_sum AS DOUBLE) AS daily_sum,
+           CASE WHEN COUNT(*) OVER w >= 7
+                THEN ROUND(CAST(SUM(daily_sum) OVER w AS DOUBLE) / 7.0, 6)
+           END AS rolling_7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    note="pandas rolling(7).mean() rows-frame semantics incl. min_periods NaN (exposure_plotting.md:98-111)",
+)
+def rolling_mean_rows(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return _daily(spark, sf).select(
+        "event_type",
+        "day",
+        F.col("daily_sum").cast("double").alias("daily_sum"),
+        F.when(
+            F.count("*").over(w) >= 7,
+            F.round(F.sum("daily_sum").over(w).cast("double") / 7.0, 6),
+        ).alias("rolling_7"),
+    )
+
+
+@_reg(
+    "rolling_mean_range",
+    f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, day,
+           ROUND(CAST(SUM(daily_sum) OVER w AS DOUBLE)
+                 / (COUNT(*) OVER w), 6) AS rolling_avg,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    note="7-day trailing RANGE frame, gap-robust (update_exposure_quantile.py:27-47)",
+)
+def rolling_mean_range(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return _daily(spark, sf).select(
+        "event_type",
+        "day",
+        F.round(
+            F.sum("daily_sum").over(w).cast("double") / F.count("*").over(w), 6
+        ).alias("rolling_avg"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
+
+
+@_reg(
+    "rank_return_period",
+    """
+    WITH peaks AS (
+      SELECT o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             MAX(o_totalprice) AS peak
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, yr, peak,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           ROUND(CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                 / (rank() OVER w), 6) AS rp
+    FROM peaks
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY peak DESC, yr)
+    """,
+    note="yearly peak + rank + return period rp=n/rank (exposure_plotting.md:166-172,:428-431,:263)",
+)
+def rank_return_period(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    peaks = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(F.max("o_totalprice").alias("peak"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("peak"), F.asc("yr"))
+    n = Window.partitionBy("o_orderpriority")
+    return peaks.select(
+        "o_orderpriority",
+        "yr",
+        "peak",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.round(F.count("*").over(n).cast("double") / F.rank().over(w), 6).alias("rp"),
+    )
+
+
+@_reg(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    note="top-k per group (exposure_plotting.md:469-477; sfed_adm.md:182-184)",
+)
+def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        table(spark, sf, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------- quantiles
+_QB_SQL = """
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.2), 6) AS q20,
+             ROUND(quantile_cont(value, 0.4), 6) AS q40,
+             ROUND(quantile_cont(value, 0.6), 6) AS q60,
+             ROUND(quantile_cont(value, 0.8), 6) AS q80
+      FROM events GROUP BY event_type
+"""
+
+
+def _boundaries(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.2)"), 6).alias("q20"),
+        F.round(F.expr("percentile(value, 0.4)"), 6).alias("q40"),
+        F.round(F.expr("percentile(value, 0.6)"), 6).alias("q60"),
+        F.round(F.expr("percentile(value, 0.8)"), 6).alias("q80"),
+    )
+
+
+@_reg(
+    "quantile_boundaries",
+    _QB_SQL,
+    note="per-group exact multi-percentile (update_exposure_quantile.py:79-84)",
+)
+def quantile_boundaries(spark: SparkSession, sf: str) -> DataFrame:
+    return _boundaries(spark, sf)
+
+
+@_reg(
+    "quantile_buckets",
+    f"""
+    WITH b AS ({_QB_SQL})
+    SELECT e.event_type,
+           CASE WHEN e.value < b.q20 THEN -2
+                WHEN e.value <= b.q40 THEN -1
+                WHEN e.value <= b.q60 THEN 0
+                WHEN e.value <= b.q80 THEN 1
+                ELSE 2 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1, 2
+    """,
+    note="CASE-WHEN quantile bucketing with the reference's mixed </<= bounds (update_exposure_quantile.py:52-67) — vectorized, never per-row",
+)
+def quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    b = _boundaries(spark, sf)
+    j = ev.join(F.broadcast(b), "event_type")
+    bucket = (
+        F.when(F.col("value") < F.col("q20"), -2)
+        .when(F.col("value") <= F.col("q40"), -1)
+        .when(F.col("value") <= F.col("q60"), 0)
+        .when(F.col("value") <= F.col("q80"), 1)
+        .otherwise(2)
+    )
+    return j.groupBy("event_type", bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------- joins
+@_reg(
+    "asof_click_attribution",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS src
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    attr AS (
+      SELECT *,
+             last_value(CASE WHEN src = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, src, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts, value, click_id
+    FROM attr WHERE src = 1
+    """,
+    note="as-of join (nearest preceding event) as a pure window — the regrid/interp_like analog (floodscan.py:133-135, raster.py:5-24)",
+)
+def asof_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = (
+        table(spark, sf, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.when(F.col("event_type") == "click", 0).otherwise(1).alias("src"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attr = ev.withColumn(
+        "click_id",
+        F.last(F.when(F.col("src") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return attr.where(F.col("src") == 1).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value", "click_id"
+    )
+
+
+@_reg(
+    "grid_multiply",
+    """
+    WITH grid AS (
+      SELECT p_size AS cell,
+             ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS w
+      FROM part GROUP BY p_size
+    )
+    SELECT g.cell, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * g.w, 2)
+             AS exposure
+    FROM lineitem l JOIN grid g ON CAST(FLOOR(l.l_quantity) AS INT) = g.cell
+    GROUP BY g.cell, g.w
+    """,
+    note="bucketize-to-grid + broadcast equi-join + elementwise multiply — the nearest-regrid exposure pattern (floodscan.py:133-135)",
+)
+def grid_multiply(spark: SparkSession, sf: str) -> DataFrame:
+    part = table(spark, sf, "part")
+    grid = part.groupBy(F.col("p_size").alias("cell")).agg(
+        F.round(
+            F.sum(F.col("p_retailprice").cast(DEC)).cast("double") / F.count("*"), 6
+        ).alias("w")
+    )
+    li = table(spark, sf, "lineitem").withColumn(
+        "cell", F.floor("l_quantity").cast("int")
+    )
+    return (
+        li.join(F.broadcast(grid), "cell")
+        .groupBy("cell", "w")
+        .agg(F.count("*").alias("n"), _msum("l_extendedprice").alias("s"))
+        .select("cell", "n", F.round(F.col("s") * F.col("w"), 2).alias("exposure"))
+    )
+
+
+# ---------------------------------------------------------------- scalars & sets
+@_reg(
+    "scalar_funcs",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           'ORD/' || CAST(o_orderkey AS VARCHAR) || '_' || strftime(o_orderdate, '%Y-%m-%d')
+             AS blob_name,
+           strftime(o_orderdate, '%Y-%m-%d') AS parsed_date,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mth,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           ROUND(o_totalprice / 7, 3) AS price_div,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_coalesced,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    note="scalar function battery: filename format+parse, date parts, coalesce, round, explicit floor-cast (§2.8; floodscan.py:97-100,:346-362; codab.py:18-23)",
+)
+def scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").where(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.concat_ws(
+            "_",
+            F.concat(F.lit("ORD/"), F.col("o_orderkey").cast("string")),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("blob_name"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("parsed_date"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.round(F.col("o_totalprice") / 7, 3).alias("price_div"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_coalesced"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+    )
+
+
+@_reg(
+    "distinct_ordered",
+    "SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders ORDER BY 1",
+    note="SELECT DISTINCT ... ORDER BY (database.py:77-82)",
+)
+def distinct_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .distinct()
+        .orderBy("order_date")
+    )
+
+
+@_reg(
+    "scalar_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+    note="scalar MAX / global aggregates (update_exposure_quantile.py:115-118)",
+)
+def scalar_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "orders").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@_reg(
+    "json_props_extract",
+    r"""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    note="opaque JSON-ish props parsed with regexp (events.props per TESTDATA)",
+)
+def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count("*").alias("n")
+    )
+
+
+@_reg(
+    "union_dedup_except",
+    """
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'click_no_purchase' AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT user_id FROM a EXCEPT SELECT DISTINCT user_id FROM b)
+    UNION ALL
+    SELECT 'all_active', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT user_id FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+    """,
+    note="set ops: UNION ALL / EXCEPT / distinct (§2.7; pd.concat + anti patterns)",
+)
+def union_dedup_except(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    seg1 = (
+        a.distinct()
+        .exceptAll(b.distinct())
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("click_no_purchase").alias("segment"), "n")
+    )
+    seg2 = (
+        a.unionAll(b)
+        .distinct()
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("all_active").alias("segment"), "n")
+    )
+    return seg1.unionByName(seg2)

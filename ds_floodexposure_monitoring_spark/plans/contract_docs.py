@@ -1,0 +1,380 @@
+"""Document / embedding / multimodal contract queries — the
+training-data-pipeline operator families (dedup, similarity search,
+text analysis, multimodal plumbing), each oracle-checked where an exact
+ANSI mirror exists.
+
+Determinism notes:
+- similarity uses *quantized integer* dot products (functions/vector.py)
+  so Spark and DuckDB agree bit-for-bit;
+- MinHash/SimHash use Spark's xxhash64 (no ANSI mirror) → rows-only
+  contract entries, but MinHash output is construction-verified against
+  the exact-Jaccard query (its result must be a subset at equal
+  threshold, equal at high recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as TXT
+from ..functions import vector as VEC
+from ..functions.multimodal import decode_metadata
+from .spec import QuerySpec, table
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+JACCARD_T = 0.55
+DOC_SAMPLE_MOD = 10  # pairwise queries run on doc_id % MOD == 0
+KNN_QUERY_MOD = 50
+KNN_K = 5
+
+
+def _reg(name: str, sql: str | None, note: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql, note)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- dedup
+@_reg(
+    "dedup_exact",
+    """
+    SELECT sha256(text) AS text_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    note="exact dedup: hash-groupBy keeping the lowest doc_id",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+_JACCARD_SQL = f"""
+    WITH sample_docs AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      FROM documents WHERE doc_id % {DOC_SAMPLE_MOD} = 0
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM sample_docs),
+    sizes AS (SELECT doc_id, len(ws) AS n FROM sample_docs),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_T}
+"""
+
+
+def _sampled_word_sets(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .where(F.col("doc_id") % DOC_SAMPLE_MOD == 0)
+        .select("doc_id", F.array_distinct(TXT.words(F.col("text"))).alias("ws"))
+    )
+
+
+@_reg(
+    "ngram_jaccard_pairs",
+    _JACCARD_SQL,
+    note="exact set-similarity join: token sets, pairwise Jaccard >= t on a sample (near-dup ground truth for the LSH path)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _sampled_word_sets(spark, sf)
+    toks = docs.select("doc_id", F.explode("ws").alias("w"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    common = (
+        ta.join(tb, (F.col("wa") == F.col("wb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes_a = docs.select(F.col("doc_id").alias("doc_a"), F.size("ws").alias("na"))
+    sizes_b = docs.select(F.col("doc_id").alias("doc_b"), F.size("ws").alias("nb"))
+    j = common.join(F.broadcast(sizes_a), "doc_a").join(F.broadcast(sizes_b), "doc_b")
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return j.where(jac >= JACCARD_T).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+N_MINHASH = 32
+LSH_BAND_ROWS = 2  # 16 bands of 2 -> recall ~1 at j>=0.55
+
+
+@_reg(
+    "minhash_lsh_pairs",
+    None,
+    note="MinHash+LSH near-dup: shingle→minhash→band→bucket-join→exact verify; rows-only (xxhash64 has no ANSI mirror) — at these parameters output ≈ ngram_jaccard_pairs",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _sampled_word_sets(spark, sf)
+    toks = docs.select("doc_id", F.explode("ws").alias("w"))
+    # 32 independent min-hashes as one agg pass (map-side combine).
+    mh = toks.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("w", F.lit(i))).alias(f"h{i}") for i in range(N_MINHASH)]
+    )
+    # band signature = hash of LSH_BAND_ROWS consecutive minhashes
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"h{bi * LSH_BAND_ROWS + r}") for r in range(LSH_BAND_ROWS)]
+                        ).alias("band_key"),
+                    )
+                    for bi in range(N_MINHASH // LSH_BAND_ROWS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify of candidates only (the scale path: candidates << pairs)
+    sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wsa"))
+    sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wsb"))
+    v = cand.join(F.broadcast(sets_a), "doc_a").join(F.broadcast(sets_b), "doc_b")
+    inter = F.size(F.array_intersect("wsa", "wsb"))
+    uni = F.size("wsa") + F.size("wsb") - inter
+    jac = inter.cast("double") / uni
+    return v.where(jac >= JACCARD_T).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@_reg(
+    "simhash_signatures",
+    None,
+    note="64-bit SimHash signatures from token sets (xxhash64 bit votes); rows-only",
+)
+def simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(TXT.words(F.col("text"))).alias("ws")
+    )
+    toks = docs.select("doc_id", F.explode("ws").alias("w")).select(
+        "doc_id", F.xxhash64("w").alias("h")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(64)
+        ]
+    )
+    sig = None
+    for k in range(64):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, k)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------- similarity search
+_KNN_SQL = f"""
+    WITH qv AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    ev AS (
+      SELECT vec_id AS nid,
+             list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.qid, e.nid,
+             list_dot_product(q.v, e.v) AS dot,
+             list_dot_product(q.v, q.v) AS n2q,
+             list_dot_product(e.v, e.v) AS n2e
+      FROM qv q, ev e WHERE q.qid <> e.nid
+    )
+    SELECT qid, nid, rnk FROM (
+      SELECT qid, nid,
+             CAST(row_number() OVER (
+               PARTITION BY qid
+               ORDER BY dot / sqrt(n2q * n2e) DESC, nid) AS BIGINT) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {KNN_K}
+"""
+
+
+@_reg(
+    "embedding_knn",
+    _KNN_SQL,
+    note="brute-force cosine top-k ANN baseline over array<float> (quantized-int dot: bit-identical across engines); LSH-bucketed variant is the scale path",
+)
+def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", VEC.quantize(F.col("embedding")).alias("v")
+    )
+    e = e.withColumn("n2", VEC.q_norm2(F.col("v")))
+    q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cos = VEC.q_dot(F.col("qv"), F.col("v")).cast("double") / F.sqrt(
+        F.col("qn2").cast("double") * F.col("n2").cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(cos), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= KNN_K)
+        .select("qid", F.col("vec_id").alias("nid"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------- text analysis
+@_reg(
+    "lang_id",
+    """
+    SELECT doc_id,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     w -> w IN ('the', 'a', 'of'))) >= 2 THEN 'en'
+                WHEN len(list_filter(string_split(text, ' '),
+                                     w -> w IN ('table','row','column','join','query'))) >= 3
+                     THEN 'sqlish'
+                ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+    note="language-ID n-gram/stopword heuristic (deterministic marker sets)",
+)
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", TXT.lang_id_pred(TXT.words(F.col("text"))).alias("lang_pred"))
+
+
+@_reg(
+    "quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('the','a','of','and'))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           ROUND(LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+                 + CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+                             BETWEEN 3.0 AND 8.0 THEN 0.5 ELSE 0.0 END
+                 + CASE WHEN CAST(n_stop AS DOUBLE) / n_words <= 0.3
+                        THEN 0.5 ELSE 0.0 END, 4) AS score
+    FROM t
+    """,
+    note="document quality scoring: length / word-shape / stopword-ratio",
+)
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    ws = TXT.words(F.col("text"))
+    n_words = F.size(ws).cast("long")
+    n_stop = TXT.count_in(ws, TXT.STOPWORDS).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        TXT.quality_score(F.col("n_chars"), n_words, n_stop).alias("score"),
+    )
+
+
+@_reg(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TXT.TOKEN_RE}')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{TXT.TOKEN_RE}'))) AS BIGINT)
+             AS n_distinct
+    FROM documents
+    """,
+    note="regex token counting (whitespace + BPE-ish token regex)",
+)
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    toks = TXT.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+@_reg(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           CAST(SUM(CAST(i AS BIGINT) * (unicode(w) * 31 + len(w))) % 2147483647
+                AS BIGINT) AS fp
+    FROM (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+    GROUP BY doc_id
+    """,
+    note="positional polynomial document fingerprint (rolling-hash style, exact integer math)",
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", TXT.fingerprint(TXT.words(F.col("text"))).alias("fp"))
+
+
+# ---------------------------------------------------------------- multimodal
+@_reg(
+    "binary_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    note="binary payload features: byte length + content hash (JVM-side)",
+)
+def binary_features(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("payload_md5"),
+    )
+
+
+@_reg(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    note="Arrow mapInPandas decode of opaque binary payloads → typed metadata (codec stubbed deterministically; plumbing real)",
+)
+def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_metadata(d)
