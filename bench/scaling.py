@@ -19,6 +19,8 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 RUN_SNIPPET = r"""
 import json, sys, time
@@ -30,18 +32,24 @@ from ds_floodexposure_monitoring_spark.streaming.runner import CDCPipeline
 
 cpus = {cpus}
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]")
-table = LakeTable.create(spark, {table_dir!r}, transcript_schema(),
-                         n_buckets={n_buckets})
-pipe = CDCPipeline(spark, {log_dir!r}, table, {ckpt_dir!r},
-                   max_events_per_batch={batch_events},
-                   target_rows_per_file=2_000_000)
-t0 = time.monotonic()
-results = pipe.run_until_caught_up()
-wall = time.monotonic() - t0
-events = sum(r.batch.n_events for r in results)
+
+def run_job(table_dir, ckpt_dir):
+    table = LakeTable.create(spark, table_dir, transcript_schema(),
+                             n_buckets={n_buckets})
+    pipe = CDCPipeline(spark, {log_dir!r}, table, ckpt_dir,
+                       max_events_per_batch={batch_events},
+                       target_rows_per_file=2_000_000,
+                       mode="mor", compact_every=4, compact_min_files=4)
+    t0 = time.monotonic()
+    results = pipe.run_until_caught_up()
+    wall = time.monotonic() - t0
+    return wall, sum(r.batch.n_events for r in results), len(results), table
+
+run_job({table_dir!r} + "-warm", {ckpt_dir!r} + "-warm")  # JVM/JIT warm-up, untimed
+wall, events, batches, table = run_job({table_dir!r}, {ckpt_dir!r})
 print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": wall,
       "events": events, "events_per_sec": events / wall,
-      "batches": len(results), "rows": table.total_rows()}}))
+      "batches": batches, "rows": table.total_rows()}}))
 spark.stop()
 """
 
@@ -59,7 +67,7 @@ def generate_input(n_events: int, root: str) -> None:
         delete_rate=0.02,
         ooo_window=1_000,
         schema_change_at=None,
-        events_per_file=max(n_events // 32, 10_000),
+        events_per_file=max(n_events // 64, 10_000),
         seed=42,
     )
     generate_changelog(spark, spec, f"{root}/log")
@@ -90,7 +98,7 @@ def run_level(root: str, cpus: int, n_events: int) -> dict:
 
 
 def main() -> None:
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     root = tempfile.mkdtemp(prefix="scaling-")
     generate_input(n_events, root)
 

@@ -1,0 +1,198 @@
+"""Merge-on-read fast path + compaction.
+
+``merge_append`` is the O(batch) alternative to copy-on-write
+``merge_into``: batch winners are appended as *delta files* per bucket —
+no existing data is read or rewritten — and last-writer-wins resolution
+moves to scan time (sources/lake.py: ``requires_resolve``). This is the
+Iceberg merge-on-read / Paimon LSM pattern, and at 10^10-event scale it
+is the difference between per-batch cost proportional to the batch and
+per-batch cost proportional to the table.
+
+``compact`` folds a bucket's delta files back into one resolved file
+(bounded read amplification), retaining tombstones (resurrection
+protection — operators/merge.py) unless the caller passes an LSN
+watermark below which no in-flight events can exist.
+
+Requirement inherited from the CDC contract: LSN totally orders versions
+of a key (duplicate deliveries carry identical payloads), so scan-time
+ties are payload-identical and resolution is deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..sources.lake import LSN_COL, TOMBSTONE_COL, LakeTable
+from .evolve import align_to_schema, evolve_schema
+from .skew import plan_bucket_splits, with_salted_split
+
+
+@dataclass
+class AppendStats:
+    batch_rows: int
+    distinct_keys: int
+    dedup_dropped: int
+    rows_written: int
+    added_files: int
+    snapshot_version: int
+    schema_added: list[str]
+    schema_widened: list[tuple[str, str, str]]
+
+    def to_json(self) -> dict:
+        from dataclasses import asdict
+
+        return asdict(self)
+
+
+def merge_append(
+    table: LakeTable,
+    batch_df: DataFrame,
+    lsn_col: str = "lsn",
+    op_col: str | None = None,
+    delete_op: str = "D",
+    batch_id: str | None = None,
+    target_rows_per_file: int = 2_000_000,
+) -> AppendStats:
+    """Merge-on-read apply: dedup the batch, append winners as deltas."""
+    cur = table.current()
+    keys = table.merge_keys
+
+    envelope = [c for c in ([op_col] if op_col else []) if c in batch_df.columns]
+    evo = evolve_schema(table.schema(), batch_df.drop(lsn_col, *envelope).schema)
+    write_schema = evo.schema
+    schema_version = cur["schema_version"] + (1 if evo.changed else 0)
+
+    src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
+    if op_col and op_col in batch_df.columns:
+        src = src.withColumn(TOMBSTONE_COL, F.col(op_col) == F.lit(delete_op)).drop(op_col)
+    else:
+        src = src.withColumn(TOMBSTONE_COL, F.lit(False))
+    batch = align_to_schema(src, write_schema, keep_extra=[LSN_COL, TOMBSTONE_COL])
+
+    # single shuffle: per-batch LWW dedup (map-side partial agg)
+    payload = [c for c in write_schema.fieldNames() if c not in keys] + [
+        LSN_COL,
+        TOMBSTONE_COL,
+    ]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]), F.struct(F.col(LSN_COL))
+    ).alias("_w")
+    obs = Observation()
+    winners = (
+        batch.groupBy(*keys)
+        .agg(winner, F.count(F.lit(1)).alias("_n"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("distinct_keys"),
+            F.sum("_n").alias("batch_rows"),
+        )
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        .withColumn("b", table.bucket_expr())
+    )
+
+    # splits census must precede the write; run it on the raw batch
+    # (cheap narrow agg) rather than materializing winners twice
+    census = (
+        batch.withColumn("b", table.bucket_expr())
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not census:
+        snap = table.commit(set(), [], batch_id=batch_id, operation="merge-append-empty")
+        return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [])
+    splits = plan_bucket_splits([(r["b"], r["n"]) for r in census], target_rows_per_file)
+
+    to_write = with_salted_split(winners, "b", splits, salt_cols=keys)
+    new_files = table.write_data_files(to_write, write_schema, schema_version)
+    m = obs.get
+
+    snap = table.commit(
+        set(),
+        new_files,
+        new_schema=write_schema if evo.changed else None,
+        batch_id=batch_id,
+        operation="merge-append",
+        requires_resolve=True,
+        summary_extra={"batch_rows": int(m["batch_rows"])},
+    )
+    rows_written = sum(f.rows for f in new_files)
+    return AppendStats(
+        batch_rows=int(m["batch_rows"]),
+        distinct_keys=int(m["distinct_keys"]),
+        dedup_dropped=int(m["batch_rows"]) - int(m["distinct_keys"]),
+        rows_written=rows_written,
+        added_files=len(new_files),
+        snapshot_version=snap["version"],
+        schema_added=evo.added_columns,
+        schema_widened=evo.widened_columns,
+    )
+
+
+@dataclass
+class CompactStats:
+    buckets_compacted: int
+    files_removed: int
+    files_added: int
+    rows_before: int
+    rows_after: int
+    tombstones_dropped: bool
+    snapshot_version: int
+
+
+def compact(
+    table: LakeTable,
+    min_files_per_bucket: int = 2,
+    tombstone_watermark_lsn: int | None = None,
+    target_rows_per_file: int = 2_000_000,
+) -> CompactStats | None:
+    """Fold delta files: rewrite every bucket holding >= min_files into
+    resolved files. Tombstones are dropped only below the caller's LSN
+    watermark (no earlier event can still arrive)."""
+    cur = table.current()
+    by_bucket: dict[int, list] = {}
+    for f in table.files(cur):
+        by_bucket.setdefault(f.bucket, []).append(f)
+    victims = {b: fs for b, fs in by_bucket.items() if len(fs) >= min_files_per_bucket}
+    if not victims:
+        return None
+    vfiles = [f for fs in victims.values() for f in fs]
+    rows_before = sum(f.rows for f in vfiles)
+
+    df = table.scan(files=vfiles, include_internal=True)
+    # scan() already resolved LWW if the snapshot requires it; resolve is
+    # idempotent so rely on it, then apply the tombstone watermark
+    if tombstone_watermark_lsn is not None:
+        df = df.where(
+            ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            | (F.col(LSN_COL) >= tombstone_watermark_lsn)
+        )
+    df = df.withColumn("b", table.bucket_expr())
+    splits = plan_bucket_splits(
+        [(b, sum(f.rows for f in fs)) for b, fs in victims.items()], target_rows_per_file
+    )
+    to_write = with_salted_split(df, "b", splits, salt_cols=table.merge_keys)
+    new_files = table.write_data_files(to_write, table.schema(cur), cur["schema_version"])
+
+    # resolved afterwards iff no bucket outside the victims has deltas
+    leftover_multi = any(
+        len(fs) >= 2 for b, fs in by_bucket.items() if b not in victims
+    )
+    snap = table.commit(
+        {f.path for f in vfiles},
+        new_files,
+        operation="compact",
+        requires_resolve=leftover_multi,
+    )
+    return CompactStats(
+        buckets_compacted=len(victims),
+        files_removed=len(vfiles),
+        files_added=len(new_files),
+        rows_before=rows_before,
+        rows_after=sum(f.rows for f in new_files),
+        tombstones_dropped=tombstone_watermark_lsn is not None,
+        snapshot_version=snap["version"],
+    )

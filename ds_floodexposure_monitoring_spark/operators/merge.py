@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..sources.lake import LSN_COL, TOMBSTONE_COL, DataFile, LakeTable
@@ -152,12 +152,15 @@ def merge_into(
                 "_n_table",
                 "_n_batch",
             )
-            .persist()
         )
 
+        # merge stats ride along with the write job (df.observe): no
+        # second pass over the resolved data, no persist
         live = ~F.col(TOMBSTONE_COL)
-        agg = resolved.agg(
-            F.count("*").alias("rows"),
+        obs = Observation()
+        resolved = resolved.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
             F.sum(
                 F.when((F.col("_wsrc") == 1) & (F.col("_n_table") > 0) & live, 1).otherwise(0)
             ).alias("updated"),
@@ -167,7 +170,7 @@ def merge_into(
             F.sum(F.when((F.col("_wsrc") == 1) & ~live, 1).otherwise(0)).alias("deleted"),
             F.sum(F.when(F.col("_wsrc") == 0, 1).otherwise(0)).alias("carried"),
             F.sum(F.when(F.col("_n_batch") > 0, 1).otherwise(0)).alias("batch_keys"),
-        ).collect()[0]
+        )
 
         # ---- skew-aware rewrite: splits sized from merged bucket rows
         existing_rows_per_bucket: dict[int, int] = {}
@@ -184,7 +187,7 @@ def merge_into(
         )
         to_write = with_salted_split(to_write, "b", splits, salt_cols=keys)
         new_files = table.write_data_files(to_write, write_schema, schema_version)
-        resolved.unpersist()
+        agg = obs.get
 
         snap = table.commit(
             removed_paths,

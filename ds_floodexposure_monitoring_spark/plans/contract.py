@@ -47,7 +47,8 @@ def _msum(c: str):
     note="last-writer-wins dedup: reference upsert semantics (floodscan.py:285-293)",
 )
 def lww_state(spark: SparkSession, sf: str) -> DataFrame:
-    ev = table(spark, sf, "events")
+    # project BEFORE dedup: pruning cannot reach inside the max_by struct
+    ev = table(spark, sf, "events").select("user_id", "event_type", "value", "ts", "event_id")
     out = dedup_last_writer(
         ev, keys=("user_id", "event_type"), order_cols=("event_id",), strategy="agg"
     )

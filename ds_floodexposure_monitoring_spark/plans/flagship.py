@@ -39,7 +39,8 @@ FLAGSHIP_SQL = """
 
 
 def flagship(spark: SparkSession, sf: str) -> DataFrame:
-    ev = table(spark, sf, "events")
+    # project before dedup so the parquet scan prunes unused columns
+    ev = table(spark, sf, "events").select("user_id", "event_type", "value", "ts", "event_id")
     lww = dedup_last_writer(
         ev, keys=("user_id", "event_type"), order_cols=("event_id",), strategy="agg"
     )

@@ -120,6 +120,7 @@ class LakeTable:
             "schema_version": 1,
             "schemas": {"1": json.loads(schema.json())},
             "files": [],
+            "requires_resolve": False,
             "summary": {"operation": "create", "total_rows": 0},
         }
         t._write_snapshot(snap)
@@ -236,6 +237,14 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if snap.get("requires_resolve", False):
+            # merge-on-read: delta files overlap by key; resolve
+            # last-writer-wins by LSN before anything else sees the rows
+            # (one hash agg with map-side partials; LSN ties cannot
+            # carry divergent payloads per CDC contract)
+            from ..operators.dedup import dedup_last_writer
+
+            out = dedup_last_writer(out, keys=snap["merge_keys"], order_cols=(LSN_COL,))
         if not include_internal:
             # pushed down to the parquet scan (boolean column min/max)
             out = out.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
@@ -252,6 +261,7 @@ class LakeTable:
         batch_id: str | None = None,
         operation: str = "merge",
         summary_extra: dict | None = None,
+        requires_resolve: bool | None = None,
     ) -> dict:
         """Replace-files commit: untouched files carry over unchanged.
 
@@ -266,6 +276,8 @@ class LakeTable:
             schema_version += 1
             schemas[str(schema_version)] = json.loads(new_schema.json())
         files = kept + [f.to_json() for f in added_files]
+        if requires_resolve is None:
+            requires_resolve = cur.get("requires_resolve", False)
         snap = {
             "version": cur["version"] + 1,
             "snapshot_id": uuid.uuid4().hex,
@@ -276,6 +288,7 @@ class LakeTable:
             "schema_version": schema_version,
             "schemas": schemas,
             "files": files,
+            "requires_resolve": requires_resolve,
             "summary": {
                 "operation": operation,
                 "total_rows": sum(d["rows"] for d in files),

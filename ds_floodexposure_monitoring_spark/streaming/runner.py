@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
+from ..operators.compact import compact, merge_append
 from ..operators.merge import MergeStats, merge_into
 from ..sources.changelog import ChangelogReader, MicroBatch
 from ..sources.lake import LakeTable
@@ -41,13 +42,27 @@ class CDCPipeline:
         metrics_dir: str | None = None,
         max_events_per_batch: int = 1_000_000,
         target_rows_per_file: int = 2_000_000,
+        mode: str = "cow",
+        compact_every: int = 8,
+        compact_min_files: int = 4,
     ):
+        """``mode``: 'cow' rewrites affected buckets per batch (read-
+        optimized); 'mor' appends delta files and resolves at scan
+        (write-optimized — the 10^10-scale ingest path), compacting
+        every ``compact_every`` batches."""
         self.spark = spark
         self.reader = ChangelogReader(spark, changelog_dir, max_events_per_batch)
         self.table = table
         self.ckpt = CheckpointStore(checkpoint_dir)
         self.metrics = MetricsLog(spark, metrics_dir) if metrics_dir else None
         self.target_rows_per_file = target_rows_per_file
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
+        self.compact_every = compact_every
+        self.compact_min_files = compact_min_files
+        # replay-detection set: O(snapshots) once at startup, O(1) per batch
+        self._committed = self.table.committed_batch_ids()
 
     def run_once(self) -> BatchResult | None:
         """Apply the next micro-batch; None if fully caught up."""
@@ -57,17 +72,30 @@ class CDCPipeline:
             return None
         t0 = time.monotonic()
 
-        replayed = batch.batch_id in self.table.committed_batch_ids()
+        # O(1) replay detection: cached set + the latest snapshot (covers
+        # the crash window where a commit landed but no checkpoint did)
+        replayed = (
+            batch.batch_id in self._committed
+            or self.table.current().get("batch_id") == batch.batch_id
+        )
         stats: MergeStats | None = None
         if not replayed:
             df = self.reader.read_batch(batch)
-            stats = merge_into(
+            apply_fn = merge_into if self.mode == "cow" else merge_append
+            stats = apply_fn(
                 self.table,
                 df,
                 op_col="op" if "op" in df.columns else None,
                 batch_id=batch.batch_id,
                 target_rows_per_file=self.target_rows_per_file,
             )
+            if self.mode == "mor" and batch.batch_seq % self.compact_every == 0:
+                compact(
+                    self.table,
+                    min_files_per_bucket=self.compact_min_files,
+                    target_rows_per_file=self.target_rows_per_file,
+                )
+        self._committed.add(batch.batch_id)
 
         state.offsets = batch.offsets_after
         state.batch_seq = batch.batch_seq
@@ -86,10 +114,10 @@ class CDCPipeline:
                     "snapshot_version": self.table.version,
                     "events": batch.n_events,
                     "dedup_dropped": stats.dedup_dropped if stats else 0,
-                    "merge_updated": stats.updated if stats else 0,
-                    "merge_inserted": stats.inserted if stats else 0,
-                    "carried_rows": stats.carried_rows if stats else 0,
-                    "files_removed": stats.removed_files if stats else 0,
+                    "merge_updated": getattr(stats, "updated", 0) if stats else 0,
+                    "merge_inserted": getattr(stats, "inserted", 0) if stats else 0,
+                    "carried_rows": getattr(stats, "carried_rows", 0) if stats else 0,
+                    "files_removed": getattr(stats, "removed_files", 0) if stats else 0,
                     "files_added": stats.added_files if stats else 0,
                     "wall_ms": wall_ms,
                     "events_per_sec": batch.n_events / (wall_ms / 1000.0) if wall_ms > 0 else None,

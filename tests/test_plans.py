@@ -1,0 +1,50 @@
+"""Physical-plan shape regressions: the optimizations we rely on at
+100 TB must be visible in the explain output — filter pushdown to the
+parquet scan, column pruning, broadcast joins for dims, map-side partial
+aggregation before the shuffle."""
+
+from ds_floodexposure_monitoring_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_to_scan(spark):
+    p = _plan(spark, "zonal_rollup")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning_at_scan(spark):
+    p = _plan(spark, "zonal_rollup")
+    assert "l_orderkey" not in p.split("ReadSchema:")[1].split("\n")[0]
+    p2 = _plan(spark, "lww_state")
+    assert "props" not in p2  # projected away before the dedup struct
+
+
+def test_dim_joins_broadcast(spark):
+    p = _plan(spark, "hierarchy_rollup")
+    assert p.count("BroadcastHashJoin") >= 6  # 3 dims x 2 grains
+    assert "SortMergeJoin" not in p
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # partial (map-side) agg -> Exchange -> final agg
+    p = _plan(spark, "zonal_rollup")
+    agg_ix = p.index("HashAggregate")
+    ex_ix = p.index("Exchange")
+    assert agg_ix < ex_ix or p.count("HashAggregate") >= 2
+
+
+def test_dedup_agg_has_partial_aggregation(spark):
+    # the LWW dedup (groupBy + max_by) must partial-aggregate before the
+    # shuffle — this is why it beats a window at scale
+    p = _plan(spark, "lww_state")
+    assert "Exchange" in p
+    before_exchange = p.split("Exchange")[0]
+    assert "Aggregate" in before_exchange

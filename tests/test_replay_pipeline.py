@@ -64,7 +64,7 @@ def engine_state(table):
     ]
 
 
-def make_pipeline(spark, root, changelog, name, max_events=6_000):
+def make_pipeline(spark, root, changelog, name, max_events=6_000, mode="cow"):
     tdir = os.path.join(root, name, "table")
     if LakeTable.exists(tdir):
         table = LakeTable.load(spark, tdir)
@@ -78,6 +78,9 @@ def make_pipeline(spark, root, changelog, name, max_events=6_000):
         metrics_dir=os.path.join(root, name, "metrics"),
         max_events_per_batch=max_events,
         target_rows_per_file=50_000,
+        mode=mode,
+        compact_every=3,
+        compact_min_files=3,
     )
 
 
@@ -161,6 +164,38 @@ def test_resume_from_fresh_checkpoint_skips_all(spark, env):
     assert results and all(r.replayed for r in results)
     assert pipe2.table.version == version
     assert engine_state(pipe2.table) == before
+
+
+def test_mor_mode_matches_oracle_with_compaction(spark, env):
+    """Merge-on-read pipeline (delta appends + scan-time LWW resolve +
+    periodic compaction) must reach the identical final state."""
+    root, changelog = env
+    pipe = make_pipeline(spark, root, changelog, "mor", mode="mor")
+    results = pipe.run_until_caught_up()
+    assert len(results) >= 3
+    # compaction ran at least once (snapshot count > batch count + 1)
+    ops = [s["summary"]["operation"] for s in pipe.table.snapshots()]
+    assert "compact" in ops and "merge-append" in ops
+    assert engine_state(pipe.table) == oracle_state(changelog)
+    # time travel still works across append + compact snapshots
+    assert pipe.table.scan(version=2).count() > 0
+
+
+def test_mor_compact_tombstone_watermark(spark, env):
+    """Compaction with an LSN watermark physically drops old tombstones
+    without changing the visible state."""
+    from ds_floodexposure_monitoring_spark.operators.compact import compact
+
+    root, changelog = env
+    pipe = make_pipeline(spark, root, changelog, "morwm", mode="mor")
+    pipe.run_until_caught_up()
+    before = engine_state(pipe.table)
+    rows_with_tombstones = pipe.table.total_rows()
+    st = compact(
+        pipe.table, min_files_per_bucket=1, tombstone_watermark_lsn=10**12
+    )
+    assert st is not None and st.rows_after < rows_with_tombstones
+    assert engine_state(pipe.table) == before
 
 
 def test_different_batch_sizes_same_final_state(spark, env):
