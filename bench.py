@@ -34,6 +34,8 @@ HEADLINE = [
     "grid_multiply",
     "anti_join_new_keys",
     "embedding_knn",
+    "ann_ivf",
+    "embedding_neardup_cosine",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "token_count",

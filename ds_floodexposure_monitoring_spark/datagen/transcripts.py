@@ -174,7 +174,48 @@ def generate_changelog(spark: SparkSession, spec: ChangeLogSpec, out_dir: str) -
 
     import pyarrow.parquet as pq
 
-    manifest_files = []
+    def _finalize_chunk(shard: int, dst_dir: str, chunk_dir: str) -> dict:
+        import pyarrow as pa
+
+        parts = sorted(_glob.glob(os.path.join(chunk_dir, "*.parquet")))
+        assert parts, chunk_dir
+        if len(parts) == 1:
+            tbl = pq.read_table(parts[0])
+        else:
+            tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+        seq_col = tbl.column("_seq")
+        import pyarrow.compute as pc
+
+        start = pc.min(seq_col).as_py()
+        end = pc.max(seq_col).as_py()
+        out_tbl = tbl.drop_columns(["_seq"])
+        # Spark's vectorized reader needs isAdjustedToUTC=true to read
+        # the column back as TIMESTAMP (LTZ); pyarrow round-trips
+        # Spark's INT96 as naive ns otherwise.
+        ts_ix = out_tbl.schema.get_field_index("ts")
+        out_tbl = out_tbl.set_column(
+            ts_ix, "ts", out_tbl.column("ts").cast(pa.timestamp("us", tz="UTC"))
+        )
+        if spec.schema_change_at is not None:
+            # The schema changes with the first file *containing* a
+            # post-change event. Rows keep consistent values across
+            # redeliveries: model is null for lsn < change everywhere.
+            max_lsn_in_file = pc.max(tbl.column("lsn")).as_py()
+            if max_lsn_in_file < spec.schema_change_at:
+                out_tbl = out_tbl.drop_columns(["model"])
+            else:
+                ix = out_tbl.schema.get_field_index("turn_idx")
+                out_tbl = out_tbl.set_column(
+                    ix, "turn_idx", out_tbl.column("turn_idx").cast(pa.int64())
+                )
+        fname = f"events-{start:012d}-{end:012d}.parquet"
+        pq.write_table(out_tbl, os.path.join(dst_dir, fname))
+        return {"shard": shard, "start_seq": start, "end_seq": end,
+                "path": os.path.join(dst_dir, fname)}
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = []
     for shard_dir in sorted(_glob.glob(os.path.join(staging, "shard=*"))):
         shard = int(shard_dir.split("=")[-1])
         dst_dir = os.path.join(out_dir, f"shard={shard}")
@@ -183,42 +224,10 @@ def generate_changelog(spark: SparkSession, spec: ChangeLogSpec, out_dir: str) -
             _glob.glob(os.path.join(shard_dir, "_file_no=*")),
             key=lambda p: int(p.split("=")[-1]),
         ):
-            parts = sorted(_glob.glob(os.path.join(chunk_dir, "*.parquet")))
-            assert parts, chunk_dir
-            tbl = pq.read_table(parts[0]) if len(parts) == 1 else None
-            if tbl is None:
-                import pyarrow as pa
-
-                tbl = pa.concat_tables([pq.read_table(p) for p in parts])
-            seqs = tbl.column("_seq").to_pylist()
-            start, end = min(seqs), max(seqs)
-            out_tbl = tbl.drop_columns(["_seq"])
-            # Spark's vectorized reader needs isAdjustedToUTC=true to read
-            # the column back as TIMESTAMP (LTZ); pyarrow round-trips
-            # Spark's INT96 as naive ns otherwise.
-            import pyarrow as pa
-
-            ts_ix = out_tbl.schema.get_field_index("ts")
-            out_tbl = out_tbl.set_column(
-                ts_ix, "ts", out_tbl.column("ts").cast(pa.timestamp("us", tz="UTC"))
-            )
-            if spec.schema_change_at is not None:
-                # The schema changes with the first file *containing* a
-                # post-change event. Rows keep consistent values across
-                # redeliveries: model is null for lsn < change everywhere.
-                max_lsn_in_file = max(tbl.column("lsn").to_pylist())
-                if max_lsn_in_file < spec.schema_change_at:
-                    out_tbl = out_tbl.drop_columns(["model"])
-                else:
-                    ix = out_tbl.schema.get_field_index("turn_idx")
-                    out_tbl = out_tbl.set_column(
-                        ix, "turn_idx", out_tbl.column("turn_idx").cast(pa.int64())
-                    )
-            fname = f"events-{start:012d}-{end:012d}.parquet"
-            pq.write_table(out_tbl, os.path.join(dst_dir, fname))
-            manifest_files.append(
-                {"shard": shard, "start_seq": start, "end_seq": end, "path": os.path.join(dst_dir, fname)}
-            )
+            jobs.append((shard, dst_dir, chunk_dir))
+    with ThreadPoolExecutor(max_workers=min(16, len(jobs) or 1)) as ex:
+        manifest_files = list(ex.map(lambda j: _finalize_chunk(*j), jobs))
+    manifest_files.sort(key=lambda m: (m["shard"], m["start_seq"]))
     import shutil
 
     shutil.rmtree(staging)

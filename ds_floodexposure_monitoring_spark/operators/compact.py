@@ -91,24 +91,23 @@ def merge_append(
         )
         .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
         .withColumn("b", table.bucket_expr())
+        .persist()
     )
+    try:
+        # splits census runs on the persisted post-dedup winners: one
+        # source scan + one dedup shuffle total per batch (the census
+        # agg itself is a tiny ≤n_buckets-row reduce)
+        census = winners.groupBy("b").agg(F.count("*").alias("n")).collect()
+        if not census:
+            snap = table.commit(set(), [], batch_id=batch_id, operation="merge-append-empty")
+            return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [])
+        splits = plan_bucket_splits([(r["b"], r["n"]) for r in census], target_rows_per_file)
 
-    # splits census must precede the write; run it on the raw batch
-    # (cheap narrow agg) rather than materializing winners twice
-    census = (
-        batch.withColumn("b", table.bucket_expr())
-        .groupBy("b")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    if not census:
-        snap = table.commit(set(), [], batch_id=batch_id, operation="merge-append-empty")
-        return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [])
-    splits = plan_bucket_splits([(r["b"], r["n"]) for r in census], target_rows_per_file)
-
-    to_write = with_salted_split(winners, "b", splits, salt_cols=keys)
-    new_files = table.write_data_files(to_write, write_schema, schema_version)
-    m = obs.get
+        to_write = with_salted_split(winners, "b", splits, salt_cols=keys)
+        new_files = table.write_data_files(to_write, write_schema, schema_version)
+        m = obs.get
+    finally:
+        winners.unpersist()
 
     snap = table.commit(
         set(),

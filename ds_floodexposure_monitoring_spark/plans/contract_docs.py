@@ -249,6 +249,154 @@ def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+NEARDUP_COS_T = 0.35
+NEARDUP_MOD = 2
+IVF_CENTROID_MOD = 25  # vec_id % 25 == 1 -> deterministic centroid set
+IVF_NPROBE = 3
+
+
+_NEARDUP_SQL = f"""
+    WITH ev AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id % {NEARDUP_MOD} = 0
+    ),
+    evn AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM ev)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / sqrt(CAST(a.n2 AS DOUBLE) * b.n2), 6) AS cosine
+    FROM evn a JOIN evn b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / sqrt(CAST(a.n2 AS DOUBLE) * b.n2) >= {NEARDUP_COS_T}
+"""
+
+
+@_reg(
+    "embedding_neardup_cosine",
+    _NEARDUP_SQL,
+    note="embedding-cosine near-dup: all pairs above threshold on a sample (quantized-int dot: bit-identical across engines); scale path blocks by LSH/IVF cluster first",
+)
+def embedding_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        table(spark, sf, "embeddings")
+        .where(F.col("vec_id") % NEARDUP_MOD == 0)
+        .select("vec_id", VEC.quantize(F.col("embedding")).alias("v"))
+        .withColumn("n2", VEC.q_norm2(F.col("v")))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = VEC.q_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return pairs.where(cos >= NEARDUP_COS_T).select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
+    )
+
+
+_IVF_SQL = f"""
+    WITH ev AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    evn AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM ev),
+    cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+             FROM evn WHERE vec_id % {IVF_CENTROID_MOD} = 1),
+    sim AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.v, c.cv)
+               / sqrt(CAST(e.n2 AS DOUBLE) * c.cn2) AS cos
+      FROM evn e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM sim
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, cid FROM ranked
+      WHERE vec_id % {KNN_QUERY_MOD} = 0 AND rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id AS nid
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.nid,
+             list_dot_product(q.v, e.v)
+               / sqrt(CAST(q.n2 AS DOUBLE) * e.n2) AS cos
+      FROM cand c
+      JOIN evn q ON q.vec_id = c.qid
+      JOIN evn e ON e.vec_id = c.nid
+    )
+    SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+      FROM scored
+    ) WHERE rnk <= {KNN_K}
+"""
+
+
+@_reg(
+    "ann_ivf",
+    _IVF_SQL,
+    note="IVF-bucketed ANN (the scale path vs embedding_knn): deterministic centroid set (stand-in for a sampled k-means codebook), broadcast assign, nprobe-pruned candidate search — candidates << corpus",
+)
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate nearest neighbour.
+
+    At 100 TB the corpus is partitioned *by assigned cluster* (the
+    inverted file); a query touches only its ``IVF_NPROBE`` clusters, so
+    the scored candidate set is ~nprobe/n_centroids of the corpus. The
+    codebook is tiny and broadcast; only the probe->candidate join
+    shuffles, keyed on cluster id. Centroids here are the deterministic
+    ``vec_id % IVF_CENTROID_MOD == 1`` subset so the DuckDB oracle is
+    exact; production would plug a sampled k-means codebook into the
+    same plan."""
+    e = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", VEC.quantize(F.col("embedding")).alias("v"))
+        .withColumn("n2", VEC.q_norm2(F.col("v")))
+    )
+    cent = e.where(F.col("vec_id") % IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+    )
+    # corpus x codebook scores, narrow (vec_id, cid, cos) — the vector
+    # payload never rides through the assignment shuffle
+    sim = e.join(F.broadcast(cent), F.lit(True)).select(
+        "vec_id",
+        "cid",
+        VEC.q_cosine(F.col("v"), F.col("cv"), F.col("n2"), F.col("cn2")).alias("cos"),
+    )
+    # argmax assignment as ONE hash agg with map-side combine (no window
+    # sort over corpus x C rows); tie-break (cos desc, cid asc)
+    assign_ids = sim.groupBy("vec_id").agg(
+        F.max_by(F.col("cid"), F.struct(F.col("cos"), -F.col("cid"))).alias("cid")
+    )
+    assign = e.join(assign_ids, "vec_id")
+    # probe ranking only over the (tiny) query subset
+    qsim = sim.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    qe = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    probes = (
+        qsim.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cid")
+        .join(qe, "qid")
+    )
+    cand = F.broadcast(probes).join(assign, "cid").where(F.col("vec_id") != F.col("qid"))
+    cos = VEC.q_cosine(F.col("qv"), F.col("v"), F.col("qn2"), F.col("n2"))
+    wq = Window.partitionBy("qid").orderBy(F.desc(cos), F.asc("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wq).cast("long"))
+        .where(F.col("rnk") <= KNN_K)
+        .select("qid", F.col("vec_id").alias("nid"), "rnk")
+    )
+
+
 # ---------------------------------------------------------------- text analysis
 @_reg(
     "lang_id",

@@ -46,13 +46,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_memory(n_threads)))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _default_memory(n_threads: int | None) -> str:
+    """Heap sized per-core (~1.5 GB/thread, floor 8 GB), mirroring a real
+    cluster where executor memory is provisioned per core. A fixed heap
+    starves wide local[N] runs: 32 concurrent tasks against 8 GB turn
+    shuffle+write memory pressure into a GC storm (measured: local[32]
+    10x slower than local[8] on the CDC ingest at 8 GB)."""
+    gb = max(8, int(1.5 * n_threads)) if n_threads else 8
+    return f"{gb}g"
 
 
 def _parse_local_threads(master: str) -> int | None:

@@ -312,9 +312,13 @@ class LakeTable:
 
         ``_split`` is the skew-splitting column (operators/skew.py): the
         repartition on (b, _split) bounds file size and spreads a hot
-        bucket over several tasks/files. Per-file min/max merge-key
-        stats are computed with one distributed columnar scan of the
-        key column (not driver-side footer reads).
+        bucket over several tasks/files. Per-file row counts and min/max
+        merge-key stats come from the parquet FOOTERS (metadata-only, no
+        second scan of the written data — the per-batch job count is part
+        of the fixed cost that caps micro-batch throughput). On a real
+        multi-node deployment these stats ride back in task commit
+        messages, Iceberg-writer style; footer reads are the local-FS
+        equivalent.
         """
         commit_dir = f"data/c{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, commit_dir)
@@ -328,28 +332,31 @@ class LakeTable:
             .parquet(out_dir)
         )
 
-        stats_schema = T.StructType(
-            write_schema.fields
-            + [
-                T.StructField(LSN_COL, T.LongType(), True),
-                T.StructField(TOMBSTONE_COL, T.BooleanType(), True),
-                T.StructField("b", T.IntegerType(), True),  # partition dir column
-            ]
-        )
-        stats = (
-            self.spark.read.schema(stats_schema).parquet(out_dir)
-            .select(F.input_file_name().alias("fpath"), F.col(key0).alias("k"))
-            .groupBy("fpath")
-            .agg(F.count("*").alias("rows"), F.min("k").alias("mn"), F.max("k").alias("mx"))
-            .collect()
-        )
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
         out: list[DataFile] = []
-        prefix = "file:"
-        for r in stats:
-            fpath = r["fpath"]
-            if fpath.startswith(prefix):
-                fpath = fpath[len(prefix):]
+        for fpath in _glob.glob(os.path.join(out_dir, "b=*", "*.parquet")):
+            md = pq.ParquetFile(fpath).metadata
+            if md.num_rows == 0:
+                os.remove(fpath)
+                continue
+            key_ix = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == key0
+            )
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(key_ix).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break  # stats unavailable -> no pruning bounds for this file
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
             rel = os.path.relpath(fpath, self.path)
             bucket = int(rel.split("b=")[1].split("/")[0])
-            out.append(DataFile(rel, bucket, r["rows"], r["mn"], r["mx"], schema_version))
+            out.append(DataFile(rel, bucket, md.num_rows, mn, mx, schema_version))
         return out
