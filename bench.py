@@ -31,6 +31,7 @@ HEADLINE = [
     "topk_per_group",
     "quantile_buckets",
     "asof_click_attribution",
+    "sessionize_events",
     "grid_multiply",
     "anti_join_new_keys",
     "embedding_knn",

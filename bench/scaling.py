@@ -45,15 +45,17 @@ from ds_floodexposure_monitoring_spark.streaming.runner import CDCPipeline
 cpus = {cpus}
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]")
 
-def run_job(table_dir, ckpt_dir):
+def run_job(table_dir, ckpt_dir, batch_events={batch_events}, max_batches=None,
+            compact_every=4):
     table = LakeTable.create(spark, table_dir, transcript_schema(),
                              n_buckets={n_buckets})
     pipe = CDCPipeline(spark, {log_dir!r}, table, ckpt_dir,
-                       max_events_per_batch={batch_events},
+                       max_events_per_batch=batch_events,
                        target_rows_per_file=2_000_000,
-                       mode="mor", compact_every=4, compact_min_files=4)
+                       mode="mor", compact_every=compact_every,
+                       compact_min_files=4)
     t0 = time.monotonic()
-    results = pipe.run_until_caught_up()
+    results = pipe.run_until_caught_up(max_batches=max_batches)
     wall = time.monotonic() - t0
     return wall, sum(r.batch.n_events for r in results), len(results), table, results
 
@@ -61,7 +63,10 @@ def gc_ms():
     beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
     return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
 
-w_wall, *_ = run_job({table_dir!r} + "-warm", {ckpt_dir!r} + "-warm")  # JVM/JIT warm-up
+# JVM/JIT warm-up: 3 small batches through every code path (dedup, write,
+# compact) — full-input warm runs cost more than the measurement itself
+w_wall, *_ = run_job({table_dir!r} + "-warm", {ckpt_dir!r} + "-warm",
+                     batch_events=120_000, max_batches=3, compact_every=2)
 gc0 = gc_ms()
 wall, events, batches, table, results = run_job({table_dir!r}, {ckpt_dir!r})
 print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": wall,
@@ -100,14 +105,23 @@ def run_level(root: str, cpus: int, n_events: int, trial: int = 0) -> dict:
         table_dir=f"{root}/table-{cpus}-t{trial}",
         log_dir=f"{root}/log",
         ckpt_dir=f"{root}/ckpt-{cpus}-t{trial}",
-        n_buckets=128,  # same table layout at both levels (>= 4N files/merge)
+        # same table layout at both levels; 32 buckets = 4x the wide
+        # width's cores (enough write parallelism) without drowning this
+        # small-table bench in per-file fixed costs — production at
+        # 10^10 rows raises n_buckets with the fleet (SURVEY.md §4)
+        n_buckets=32,
         batch_events=max(n_events // 4, 100_000),
     )
     # Per-core-constant memory, like a real cluster: 4N executors bring
     # 4x the total heap of N executors. A fixed heap at both levels would
     # GC-starve the wider run and measure memory pressure, not scaling.
+    #
+    # taskset pins the WHOLE process tree (task threads + GC + shuffle IO
+    # + parquet compression + driver) to exactly N cores: local[N] on a
+    # 32-vCPU box otherwise lets auxiliary threads overflow the width and
+    # inflates the narrow run's throughput, understating true scaling.
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
         capture_output=True,
         text=True,
         env={
@@ -170,7 +184,10 @@ by far fewer physical host cores — /proc/stat shows CPU-steal bursts of
 Above ~8 threads wall-clock measures hypervisor contention, not the
 engine. Both chosen widths fit the real-core budget; {trials} alternating
 trials per width, best-of per width (standard noisy-host methodology),
-all trial walls reported below.
+all trial walls reported below. Each run is `taskset`-pinned to exactly
+its N cores so auxiliary JVM threads (GC, shuffle IO, parquet
+compression, driver) cannot overflow the width — without pinning the
+narrow run borrows idle vCPUs and overstates its throughput.
 
 | parallelism | wall (s) | events | events/sec | batches | final rows |
 |---|---|---|---|---|---|
@@ -192,7 +209,7 @@ Per-batch walls at 4N (ms): {rw['batch_wall_ms']}; timed-run GC:
 sustains ~{rw['events_per_sec'] / WIDE_CORES * 4000 * eff:,.0f} events/sec ->
 ~{1e10 / (rw['events_per_sec'] / WIDE_CORES * 4000 * eff) / 3600:,.1f} h end-to-end.
 Shuffle partitions and bucket count scale with cores (session.py;
-n_buckets=128 here, raised with fleet size) so file-rewrite parallelism
+n_buckets=32 here, raised with fleet size) so file-rewrite parallelism
 is never the binding constraint; the per-batch shuffles (dedup agg +
 bucket write) are the only all-to-all stages and both use map-side
 partial aggregation.

@@ -40,6 +40,7 @@ class AppendStats:
     snapshot_version: int
     schema_added: list[str]
     schema_widened: list[tuple[str, str, str]]
+    bucket_rows: dict[int, int] | None = None  # written rows per bucket
 
     def to_json(self) -> dict:
         from dataclasses import asdict
@@ -55,8 +56,19 @@ def merge_append(
     delete_op: str = "D",
     batch_id: str | None = None,
     target_rows_per_file: int = 2_000_000,
+    splits_hint: dict[int, int] | None = None,
+    approx_rows: int | None = None,
 ) -> AppendStats:
-    """Merge-on-read apply: dedup the batch, append winners as deltas."""
+    """Merge-on-read apply: dedup the batch, append winners as deltas.
+
+    ONE Spark job per batch: the skew-split plan comes from
+    ``splits_hint`` (the caller's previous-batch per-bucket row counts —
+    CDC batches are statistically stable, AQE-style stat reuse) or, for
+    the first batch, a uniform estimate from ``approx_rows`` (known from
+    changelog file metadata without reading data). Split sizing only
+    controls output file sizes — a stale hint can never affect
+    correctness — and the per-file footer stats written back by this
+    batch become the next batch's hint."""
     cur = table.current()
     keys = table.merge_keys
 
@@ -91,23 +103,28 @@ def merge_append(
         )
         .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
         .withColumn("b", table.bucket_expr())
-        .persist()
     )
-    try:
-        # splits census runs on the persisted post-dedup winners: one
-        # source scan + one dedup shuffle total per batch (the census
-        # agg itself is a tiny ≤n_buckets-row reduce)
-        census = winners.groupBy("b").agg(F.count("*").alias("n")).collect()
-        if not census:
-            snap = table.commit(set(), [], batch_id=batch_id, operation="merge-append-empty")
-            return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [])
-        splits = plan_bucket_splits([(r["b"], r["n"]) for r in census], target_rows_per_file)
 
-        to_write = with_salted_split(winners, "b", splits, salt_cols=keys)
-        new_files = table.write_data_files(to_write, write_schema, schema_version)
-        m = obs.get
-    finally:
-        winners.unpersist()
+    if splits_hint:
+        splits = dict(splits_hint)
+    else:
+        # first batch: uniform estimate with 2x hot-bucket margin from
+        # metadata-known event count — no census job
+        est = approx_rows if approx_rows is not None else target_rows_per_file
+        per_bucket = max(1, (2 * est) // max(table.n_buckets, 1))
+        splits = plan_bucket_splits(
+            [(b, per_bucket) for b in range(table.n_buckets)], target_rows_per_file
+        )
+
+    to_write = with_salted_split(winners, "b", splits, salt_cols=keys)
+    new_files = table.write_data_files(to_write, write_schema, schema_version)
+    if not new_files:
+        snap = table.commit(set(), [], batch_id=batch_id, operation="merge-append-empty")
+        return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [], None)
+    m = obs.get
+    bucket_rows: dict[int, int] = {}
+    for f in new_files:
+        bucket_rows[f.bucket] = bucket_rows.get(f.bucket, 0) + f.rows
 
     snap = table.commit(
         set(),
@@ -128,6 +145,7 @@ def merge_append(
         snapshot_version=snap["version"],
         schema_added=evo.added_columns,
         schema_widened=evo.widened_columns,
+        bucket_rows=bucket_rows,
     )
 
 

@@ -589,6 +589,47 @@ def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "sessionize_events",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM t
+    )
+    SELECT user_id, CAST(sess AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM s GROUP BY 1, 2
+    """,
+    note="gap-based sessionization (30-min inactivity): lag + running sum + group — the training-pipeline session assembly primitive; one shuffle on user_id serves both windows and the final agg",
+)
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = ev.withColumn("sess", F.sum(new_s).over(run))
+    return s.groupBy("user_id", F.col("sess").cast("long").alias("session_no")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+    )
+
+
+@_reg(
     "union_dedup_except",
     """
     WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),

@@ -249,6 +249,64 @@ def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SIMHASH_BAND_BITS = 16  # 4 bands of 16 bits
+SIMHASH_HAM_T = 3       # = n_bands - 1: pigeonhole guarantees any pair
+                        # within the verify threshold shares >=1 band
+                        # (full recall), so banding loses nothing
+
+
+def _simhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    return REGISTRY["simhash_signatures"].fn(spark, sf)
+
+
+@_reg(
+    "simhash_neardup_pairs",
+    None,
+    note="SimHash near-dup join: 16-bit band bucketing (pigeonhole: any pair within Hamming 3/band-count survives) then exact bit_count(xor) verify; rows-only (xxhash64 basis)",
+)
+def simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded Hamming-distance self-join over 64-bit SimHash signatures.
+
+    Scale path: candidates meet only inside a (band_id, 16-bit chunk)
+    bucket — a hash-partitioned equi-join, never an all-pairs scan; the
+    exact ``bit_count(a XOR b)`` verify runs on candidates only."""
+    sig = _simhash_sigs(spark, sf)
+    n_bands = 64 // SIMHASH_BAND_BITS
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), i * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.chunk")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band_id", "chunk"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band_id", "chunk"
+    )
+    cand = (
+        a.join(b, ["band_id", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.where(ham <= SIMHASH_HAM_T).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
+
+
 NEARDUP_COS_T = 0.35
 NEARDUP_MOD = 2
 IVF_CENTROID_MOD = 25  # vec_id % 25 == 1 -> deterministic centroid set

@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_memory(n_threads)))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # v2 commit moves task outputs inside the tasks instead of a
+        # serial driver-side rename pass — that pass is per-batch fixed
+        # cost and caps micro-batch throughput at high parallelism
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -333,15 +333,15 @@ class LakeTable:
         )
 
         import glob as _glob
+        from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
-        out: list[DataFile] = []
-        for fpath in _glob.glob(os.path.join(out_dir, "b=*", "*.parquet")):
+        def _stat(fpath: str) -> DataFile | None:
             md = pq.ParquetFile(fpath).metadata
             if md.num_rows == 0:
                 os.remove(fpath)
-                continue
+                return None
             key_ix = next(
                 i for i in range(md.num_columns)
                 if md.schema.column(i).name == key0
@@ -358,5 +358,10 @@ class LakeTable:
                 mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
             rel = os.path.relpath(fpath, self.path)
             bucket = int(rel.split("b=")[1].split("/")[0])
-            out.append(DataFile(rel, bucket, md.num_rows, mn, mx, schema_version))
-        return out
+            return DataFile(rel, bucket, md.num_rows, mn, mx, schema_version)
+
+        paths = _glob.glob(os.path.join(out_dir, "b=*", "*.parquet"))
+        if not paths:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return [f for f in ex.map(_stat, paths) if f is not None]

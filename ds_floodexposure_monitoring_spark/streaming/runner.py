@@ -63,6 +63,9 @@ class CDCPipeline:
         self.compact_min_files = compact_min_files
         # replay-detection set: O(snapshots) once at startup, O(1) per batch
         self._committed = self.table.committed_batch_ids()
+        # mor skew-split hint: previous batch's per-bucket winner rows
+        # (AQE-style stat reuse; sizing only, never correctness)
+        self._bucket_rows_hint: dict[int, int] | None = None
 
     def run_once(self) -> BatchResult | None:
         """Apply the next micro-batch; None if fully caught up."""
@@ -81,14 +84,32 @@ class CDCPipeline:
         stats: MergeStats | None = None
         if not replayed:
             df = self.reader.read_batch(batch)
-            apply_fn = merge_into if self.mode == "cow" else merge_append
-            stats = apply_fn(
-                self.table,
-                df,
+            common = dict(
                 op_col="op" if "op" in df.columns else None,
                 batch_id=batch.batch_id,
                 target_rows_per_file=self.target_rows_per_file,
             )
+            if self.mode == "cow":
+                stats = merge_into(self.table, df, **common)
+            else:
+                from ..operators.skew import plan_bucket_splits
+
+                hint = (
+                    plan_bucket_splits(
+                        list(self._bucket_rows_hint.items()), self.target_rows_per_file
+                    )
+                    if self._bucket_rows_hint
+                    else None
+                )
+                stats = merge_append(
+                    self.table,
+                    df,
+                    splits_hint=hint,
+                    approx_rows=batch.n_events,
+                    **common,
+                )
+                if stats.bucket_rows:
+                    self._bucket_rows_hint = stats.bucket_rows
             if self.mode == "mor" and batch.batch_seq % self.compact_every == 0:
                 compact(
                     self.table,

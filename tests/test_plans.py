@@ -48,3 +48,21 @@ def test_dedup_agg_has_partial_aggregation(spark):
     assert "Exchange" in p
     before_exchange = p.split("Exchange")[0]
     assert "Aggregate" in before_exchange
+
+
+def test_ann_ivf_codebook_broadcast_no_corpus_shuffle_for_assignment(spark):
+    # the IVF codebook rides to every corpus partition as a broadcast
+    # (cross join against <=N_CENTROIDS rows), and cluster assignment is
+    # an argmax hash-agg with map-side partials — never a corpus-wide
+    # window sort
+    p = _plan(spark, "ann_ivf")
+    assert "BroadcastNestedLoopJoin" in p  # corpus x broadcast codebook
+    assert "max_by" in p  # argmax assignment as aggregation
+    assert "BroadcastHashJoin" in p  # probes (tiny) joined to assignment
+
+
+def test_neardup_pairs_join_is_broadcast(spark):
+    # pairwise cosine near-dup on the sample: one side broadcasts; no
+    # sort-merge shuffle of the vector payloads
+    p = _plan(spark, "embedding_neardup_cosine")
+    assert "SortMergeJoin" not in p
