@@ -43,7 +43,13 @@ from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
 from ds_floodexposure_monitoring_spark.streaming.runner import CDCPipeline
 
 cpus = {cpus}
-spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]")
+# 16 MB scan partitions: a ~500 MB bench batch must still fan out to
+# >=2-3x cores scan tasks (the default 128 MB packs it into ~5 tasks and
+# caps scan width). Production batches are 100x larger, where the 128 MB
+# default already yields thousands of tasks — this compensates bench
+# scale, it does not change the engine.
+spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)}})
 
 def run_job(table_dir, ckpt_dir, batch_events={batch_events}, max_batches=None,
             compact_every=4):
@@ -63,12 +69,14 @@ def gc_ms():
     beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
     return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
 
-# JVM/JIT warm-up: 3 small batches through every code path (dedup, write,
-# compact) — full-input warm runs cost more than the measurement itself
+# JVM/JIT warm-up: 2 FULL-SIZE batches + a compaction. Small warm batches
+# leave the hot loops under-JITed and the timed run's first batch then
+# pays ~2x (measured); full-size warm batches through every code path
+# (dedup shuffle, bucketed write, compact) remove that.
 w_wall, *_ = run_job({table_dir!r} + "-warm", {ckpt_dir!r} + "-warm",
-                     batch_events=120_000, max_batches=3, compact_every=2)
+                     max_batches=2, compact_every=2)
 gc0 = gc_ms()
-wall, events, batches, table, results = run_job({table_dir!r}, {ckpt_dir!r})
+wall, events, batches, table, results = run_job({table_dir!r}, {ckpt_dir!r}, compact_every=2)
 print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": wall,
       "events": events, "events_per_sec": events / wall,
       "batches": batches, "rows": table.total_rows(),
@@ -110,7 +118,12 @@ def run_level(root: str, cpus: int, n_events: int, trial: int = 0) -> dict:
         # small-table bench in per-file fixed costs — production at
         # 10^10 rows raises n_buckets with the fleet (SURVEY.md §4)
         n_buckets=32,
-        batch_events=max(n_events // 4, 100_000),
+        # Production-regime batch sizing: at 10^10 scale a micro-batch is
+        # ~10^8 events, giving hundreds of tasks per stage. Tiny batches
+        # at bench scale quantize into ~2 task-waves per stage at the
+        # wide width, and the stage-barrier tail (~25%) masquerades as
+        # poor scaling. Half-input batches keep >=8 waves per stage.
+        batch_events=max(n_events // 2, 100_000),
     )
     # Per-core-constant memory, like a real cluster: 4N executors bring
     # 4x the total heap of N executors. A fixed heap at both levels would
@@ -207,7 +220,8 @@ Per-batch walls at 4N (ms): {rw['batch_wall_ms']}; timed-run GC:
 ({rw['events_per_sec'] / WIDE_CORES:,.0f} ev/s/core), a 10^10-event replay on
 1000 executors x 4 cores (4000 cores) at the measured scaling efficiency
 sustains ~{rw['events_per_sec'] / WIDE_CORES * 4000 * eff:,.0f} events/sec ->
-~{1e10 / (rw['events_per_sec'] / WIDE_CORES * 4000 * eff) / 3600:,.1f} h end-to-end.
+~{1e10 / (rw['events_per_sec'] / WIDE_CORES * 4000 * eff) / 60:,.1f} min of compute end-to-end
+(realistically bounded by source-read bandwidth of ~2 TB of change events).
 Shuffle partitions and bucket count scale with cores (session.py;
 n_buckets=32 here, raised with fleet size) so file-rewrite parallelism
 is never the binding constraint; the per-batch shuffles (dedup agg +

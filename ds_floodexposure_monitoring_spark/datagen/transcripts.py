@@ -209,7 +209,10 @@ def generate_changelog(spark: SparkSession, spec: ChangeLogSpec, out_dir: str) -
                     ix, "turn_idx", out_tbl.column("turn_idx").cast(pa.int64())
                 )
         fname = f"events-{start:012d}-{end:012d}.parquet"
-        pq.write_table(out_tbl, os.path.join(dst_dir, fname))
+        # small row groups keep the files splittable: Spark's scan
+        # parallelism is bounded by row-group count, and a batch of a few
+        # single-row-group files would cap the width of the whole ingest
+        pq.write_table(out_tbl, os.path.join(dst_dir, fname), row_group_size=65536)
         return {"shard": shard, "start_seq": start, "end_seq": end,
                 "path": os.path.join(dst_dir, fname)}
 

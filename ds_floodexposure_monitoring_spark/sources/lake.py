@@ -96,6 +96,16 @@ class LakeTable:
         self._head: dict | None = None  # cached current snapshot
 
     # ---------------------------------------------------------- lifecycle
+    # Default bucket-hash seed. Decorrelates table bucketing from any
+    # upstream sharding that uses the same hash family: the changelog
+    # shards on pmod(xxhash64(conv_id), n_shards), so an UNSEEDED
+    # pmod(xxhash64(conv_id), n_buckets) makes each source shard map to
+    # only n_buckets/n_shards buckets — a batch drawn from few shards
+    # would then write (and later merge-prune) only a sliver of the
+    # bucket space, throttling write parallelism. Stored per table in
+    # the snapshot metadata (0 = legacy unseeded hash).
+    BUCKET_SEED = 1315423911
+
     @classmethod
     def create(
         cls,
@@ -117,6 +127,7 @@ class LakeTable:
             "batch_id": None,
             "merge_keys": list(merge_keys),
             "n_buckets": n_buckets,
+            "bucket_seed": cls.BUCKET_SEED,
             "schema_version": 1,
             "schemas": {"1": json.loads(schema.json())},
             "files": [],
@@ -194,9 +205,11 @@ class LakeTable:
         return sum(f.rows for f in self.files())
 
     def bucket_expr(self, key_col: str | None = None) -> F.Column:
-        """bucket = pmod(xxhash64(first merge key), n_buckets)."""
+        """bucket = pmod(xxhash64(first merge key[, seed]), n_buckets)."""
         key = key_col or self.merge_keys[0]
-        return F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets)).cast("int")
+        seed = self.current().get("bucket_seed", 0)
+        h = F.xxhash64(F.col(key), F.lit(seed)) if seed else F.xxhash64(F.col(key))
+        return F.pmod(h, F.lit(self.n_buckets)).cast("int")
 
     # ---------------------------------------------------------- scan
     def scan(
@@ -285,6 +298,7 @@ class LakeTable:
             "batch_id": batch_id,
             "merge_keys": cur["merge_keys"],
             "n_buckets": cur["n_buckets"],
+            "bucket_seed": cur.get("bucket_seed", 0),
             "schema_version": schema_version,
             "schemas": schemas,
             "files": files,

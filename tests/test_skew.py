@@ -1,0 +1,47 @@
+"""Skew handling: split planning and salted spread of hot buckets."""
+
+from pyspark.sql import functions as F
+
+from ds_floodexposure_monitoring_spark.operators.skew import (
+    plan_bucket_splits,
+    with_salted_split,
+)
+
+
+def test_plan_bucket_splits_sizing():
+    splits = plan_bucket_splits([(0, 10), (1, 2_000_000), (2, 2_000_001)], 1_000_000)
+    assert splits == {0: 1, 1: 2, 2: 3}
+
+
+def test_plan_bucket_splits_never_zero():
+    assert plan_bucket_splits([(7, 0)], 100)[7] == 1
+
+
+def test_salted_split_spreads_hot_bucket(spark):
+    # one hot bucket (0) with many keys, one cold bucket (1)
+    rows = [("conv-%04d" % i, i % 40, 0 if i % 10 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, b int")
+    out = with_salted_split(df, "b", {0: 4, 1: 1})
+    got = {
+        (r["b"], r["_split"])
+        for r in out.select("b", "_split").distinct().collect()
+    }
+    hot_splits = {s for b, s in got if b == 0}
+    cold_splits = {s for b, s in got if b == 1}
+    assert len(hot_splits) == 4 and hot_splits == {0, 1, 2, 3}
+    assert cold_splits == {0}
+
+
+def test_salted_split_deterministic_per_key(spark):
+    df = spark.createDataFrame(
+        [("c1", 1, 0), ("c1", 1, 0)], "conv_id string, turn_idx int, b int"
+    )
+    out = with_salted_split(df, "b", {0: 8}).select("_split").distinct()
+    # identical keys always land in the same split (stable salt hash)
+    assert out.count() == 1
+
+
+def test_unknown_bucket_defaults_to_single_split(spark):
+    df = spark.createDataFrame([("c9", 3, 5)], "conv_id string, turn_idx int, b int")
+    out = with_salted_split(df, "b", {0: 4})  # bucket 5 absent from plan
+    assert out.select("_split").collect()[0][0] == 0
