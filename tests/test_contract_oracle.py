@@ -78,3 +78,33 @@ def test_minhash_equals_exact_jaccard(spark):
     assert l <= e  # verify step guarantees no false positives
     missed = e - l
     assert len(missed) <= max(1, len(e) // 20), f"LSH recall too low: missed {missed}"
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """Construction check for the rows-only MinHash query: candidates are
+    exact-verified, so LSH output ⊆ exact pairs; at 16 bands of 2 the
+    candidate recall at j>=0.55 is ~1, so the sets should be equal."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ALL_QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in ALL_QUERIES["minhash_lsh_pairs"](spark, SF_DIR).collect()
+    }
+    assert lsh <= exact
+    assert lsh == exact, f"LSH missed {len(exact - lsh)} of {len(exact)} pairs"
+
+
+def test_simhash_neardup_consistent_with_signatures(spark):
+    """Every reported pair must truly be within the Hamming threshold of
+    the signatures the signature query reports (banding loses nothing at
+    threshold = n_bands - 1)."""
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in ALL_QUERIES["simhash_signatures"](spark, SF_DIR).collect()
+    }
+    pairs = ALL_QUERIES["simhash_neardup_pairs"](spark, SF_DIR).collect()
+    for r in pairs:
+        ham = bin((sigs[r["doc_a"]] ^ sigs[r["doc_b"]]) & (2**64 - 1)).count("1")
+        assert ham == r["hamming"] and ham <= 3
