@@ -66,3 +66,17 @@ def test_neardup_pairs_join_is_broadcast(spark):
     # sort-merge shuffle of the vector payloads
     p = _plan(spark, "embedding_neardup_cosine")
     assert "SortMergeJoin" not in p
+
+
+def test_sessionize_single_shuffle(spark):
+    # hashpartitioning(user_id) from the window is reused by the final
+    # groupBy(user_id, session_no) — Catalyst sees the partitioning
+    # satisfies the clustered distribution, so ONE shuffle serves the
+    # lag window, the running sum, and the session aggregation
+    p = _plan(spark, "sessionize_events")
+    import re
+
+    exchange_ids = re.findall(r"\((\d+)\) Exchange", p)
+    assert len(exchange_ids) == 1, exchange_ids
+    args = re.findall(r"Arguments: hashpartitioning\(([^,)]+)", p)
+    assert args and args[0].startswith("user_id"), args
