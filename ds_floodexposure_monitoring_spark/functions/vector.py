@@ -45,6 +45,111 @@ def q_cosine(a_q: Column, b_q: Column, a_n2: Column, b_n2: Column) -> Column:
     return q_dot(a_q, b_q).cast("double") / F.sqrt(a_n2.cast("double") * b_n2.cast("double"))
 
 
+def block_cosines(
+    df,
+    id_col: str,
+    vec_col: str,
+    cand_ids,
+    cand_matrix,
+    per_id_topk: int | None = None,
+    per_cid_topk: int | None = None,
+    exclude_self: bool = False,
+):
+    """Arrow block-matmul scores: every row of ``df`` (quantized vector)
+    against a broadcast candidate matrix, one integer BLAS call per Arrow
+    batch. Exact int64 dot products keep downstream rankings
+    bit-identical to an ANSI oracle computing the same quantized cosine.
+
+    Emission control (the crucial part — emitting the raw id x cid cross
+    product through Arrow costs more than the matmul saves):
+
+    - ``per_id_topk=m``: per row, only its m best candidates, ranked
+      ``rn`` 1..m with ties broken (cos desc, cid asc). EXACT, because a
+      row sees the full candidate set inside one batch. Output
+      ``(id, cid, cos, rn)``.
+    - ``per_cid_topk=k``: per candidate column, only the k best rows of
+      EACH batch (ties (cos desc, id asc)) — a PARTIAL top-k; the caller
+      must re-rank the survivors with a window to merge batches. Output
+      ``(id, cid, cos)``.
+    - neither: full ``(id, cid, cos)`` cross product.
+
+    The candidate side must be bounded (a codebook, a query set, an LSH
+    block); the corpus side streams through ``mapInPandas`` and never
+    shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(np.asarray(cand_ids, dtype=np.int64))  # cid-asc for stable ties
+    ids = np.asarray(cand_ids, dtype=np.int64)[order]
+    M = np.asarray(cand_matrix, dtype=np.int64)[order]
+    n2 = (M * M).sum(axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, n2))
+
+    def block(batches):
+        c_ids, c_m, c_n2 = bc.value
+        n_c = len(c_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].values).astype(np.int64)
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            dots = A @ c_m.T
+            a_n2 = (A * A).sum(axis=1)
+            cos = dots / np.sqrt(a_n2[:, None].astype(np.float64) * c_n2[None, :])
+            if exclude_self:
+                cos = np.where(a_ids[:, None] == c_ids[None, :], -np.inf, cos)
+            if per_id_topk is not None:
+                m = min(per_id_topk, n_c)
+                # stable sort on -cos over cid-ascending columns = ties to lower cid
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :m]
+                rows = np.repeat(np.arange(len(a_ids)), m)
+                cols = top.ravel()
+                keep = np.isfinite(cos[rows, cols])
+                yield pd.DataFrame(
+                    {
+                        "id": a_ids[rows][keep],
+                        "cid": c_ids[cols][keep],
+                        "cos": cos[rows, cols][keep],
+                        "rn": np.tile(np.arange(1, m + 1), len(a_ids))[keep],
+                    }
+                )
+            elif per_cid_topk is not None:
+                k = min(per_cid_topk, len(a_ids))
+                # rows arrive id-sorted within a batch only by chance; sort
+                # explicitly so stable argsort breaks ties by lower id
+                row_order = np.argsort(a_ids, kind="stable")
+                cos_s = cos[row_order]
+                ids_s = a_ids[row_order]
+                top = np.argsort(-cos_s, axis=0, kind="stable")[:k, :]
+                cols = np.tile(np.arange(n_c), k)
+                rows = top.ravel()
+                keep = np.isfinite(cos_s[rows, cols])
+                yield pd.DataFrame(
+                    {
+                        "id": ids_s[rows][keep],
+                        "cid": c_ids[cols][keep],
+                        "cos": cos_s[rows, cols][keep],
+                    }
+                )
+            else:
+                rows = np.repeat(np.arange(len(a_ids)), n_c)
+                cols = np.tile(np.arange(n_c), len(a_ids))
+                keep = np.isfinite(cos[rows, cols])
+                yield pd.DataFrame(
+                    {
+                        "id": a_ids[rows][keep],
+                        "cid": c_ids[cols][keep],
+                        "cos": cos[rows, cols][keep],
+                    }
+                )
+
+    schema = "id long, cid long, cos double" + (
+        ", rn int" if per_id_topk is not None else ""
+    )
+    return df.select(id_col, vec_col).mapInPandas(block, schema)
+
+
 def cos_sim(a: Column, b: Column) -> Column:
     """Float cosine similarity — production path (no quantization)."""
     dot = F.aggregate(

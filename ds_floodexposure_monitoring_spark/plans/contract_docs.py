@@ -227,25 +227,33 @@ _KNN_SQL = f"""
 @_reg(
     "embedding_knn",
     _KNN_SQL,
-    note="brute-force cosine top-k ANN baseline over array<float> (quantized-int dot: bit-identical across engines); LSH-bucketed variant is the scale path",
+    note="brute-force cosine top-k ANN baseline via Arrow block-matmul (quantized-int dot: bit-identical across engines); ann_ivf is the scale path",
 )
 def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force top-k: the bounded query set broadcasts as a matrix;
+    the corpus streams through one integer matmul per Arrow batch
+    (functions/vector.block_cosines) and only the scored narrow rows
+    shuffle into the per-query top-k window."""
     e = table(spark, sf, "embeddings").select(
         "vec_id", VEC.quantize(F.col("embedding")).alias("v")
     )
-    e = e.withColumn("n2", VEC.q_norm2(F.col("v")))
-    q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    qrows = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).collect()
+    # per-batch partial top-k inside the UDF (map-side combine for ANN):
+    # only k rows per query per batch reach the final merge window
+    scores = VEC.block_cosines(
+        e,
+        "vec_id",
+        "v",
+        [r["vec_id"] for r in qrows],
+        [r["v"] for r in qrows],
+        per_cid_topk=KNN_K,
+        exclude_self=True,
     )
-    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    cos = VEC.q_dot(F.col("qv"), F.col("v")).cast("double") / F.sqrt(
-        F.col("qn2").cast("double") * F.col("n2").cast("double")
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc(cos), F.asc("vec_id"))
+    w = Window.partitionBy("cid").orderBy(F.desc("cos"), F.asc("id"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        scores.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= KNN_K)
-        .select("qid", F.col("vec_id").alias("nid"), "rnk")
+        .select(F.col("cid").alias("qid"), F.col("id").alias("nid"), "rnk")
     )
 
 
@@ -448,31 +456,25 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", VEC.quantize(F.col("embedding")).alias("v"))
         .withColumn("n2", VEC.q_norm2(F.col("v")))
     )
-    cent = e.where(F.col("vec_id") % IVF_CENTROID_MOD == 1).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
-    )
-    # corpus x codebook scores, narrow (vec_id, cid, cos) — the vector
-    # payload never rides through the assignment shuffle
-    sim = e.join(F.broadcast(cent), F.lit(True)).select(
+    crows = e.where(F.col("vec_id") % IVF_CENTROID_MOD == 1).collect()
+    # corpus x codebook scored via one Arrow matmul per batch; the UDF
+    # emits only each row's top-nprobe centroids (rank 1 = assignment),
+    # so neither the vector payload nor the raw corpus x C cross product
+    # ever rides through a shuffle
+    ranked = VEC.block_cosines(
+        e,
         "vec_id",
-        "cid",
-        VEC.q_cosine(F.col("v"), F.col("cv"), F.col("n2"), F.col("cn2")).alias("cos"),
-    )
-    # argmax assignment as ONE hash agg with map-side combine (no window
-    # sort over corpus x C rows); tie-break (cos desc, cid asc)
-    assign_ids = sim.groupBy("vec_id").agg(
-        F.max_by(F.col("cid"), F.struct(F.col("cos"), -F.col("cid"))).alias("cid")
-    )
-    assign = e.join(assign_ids, "vec_id")
-    # probe ranking only over the (tiny) query subset
-    qsim = sim.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
-    wp = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+        "v",
+        [r["vec_id"] for r in crows],
+        [r["v"] for r in crows],
+        per_id_topk=IVF_NPROBE,
+    ).select(F.col("id").alias("vec_id"), "cid", "rn")
+    assign = e.join(ranked.where(F.col("rn") == 1).drop("rn"), "vec_id")
     qe = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
     )
     probes = (
-        qsim.withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= IVF_NPROBE)
+        ranked.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
         .select(F.col("vec_id").alias("qid"), "cid")
         .join(qe, "qid")
     )

@@ -52,12 +52,11 @@ def test_dedup_agg_has_partial_aggregation(spark):
 
 def test_ann_ivf_codebook_broadcast_no_corpus_shuffle_for_assignment(spark):
     # the IVF codebook rides to every corpus partition as a broadcast
-    # (cross join against <=N_CENTROIDS rows), and cluster assignment is
-    # an argmax hash-agg with map-side partials — never a corpus-wide
-    # window sort
+    # matrix scored via one Arrow matmul per batch (MapInPandas), which
+    # emits only per-row top-nprobe rows (assignment = rank 1) — never a
+    # corpus-wide window sort or a raw corpus x C cross product
     p = _plan(spark, "ann_ivf")
-    assert "BroadcastNestedLoopJoin" in p  # corpus x broadcast codebook
-    assert "max_by" in p  # argmax assignment as aggregation
+    assert "MapInPandas" in p  # corpus x broadcast codebook block-matmul
     assert "BroadcastHashJoin" in p  # probes (tiny) joined to assignment
 
 
