@@ -20,6 +20,23 @@ from pyspark.sql import functions as F
 Q_SCALE = 10_000
 
 
+def bounded_collect(df, max_rows: int) -> list:
+    """Driver-side collect with a hard constant bound.
+
+    Every similarity query that broadcasts a candidate matrix must pull
+    it through this guard: the collected side (codebook, query set) has
+    to be O(1) in the corpus size, or the plan silently degrades into a
+    driver-memory bottleneck at scale. Raises instead of truncating so
+    an unbounded candidate expression fails loudly in tests."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"candidate side exceeds the constant bound ({max_rows} rows): "
+            "the collected set must not grow with the corpus"
+        )
+    return rows
+
+
 def quantize(v: Column) -> Column:
     """array<float> -> array<bigint>, component-wise round(x * 1e4)."""
     return F.transform(v, lambda x: F.round(x.cast("double") * Q_SCALE, 0).cast("long"))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.lake import LSN_COL, TOMBSTONE_COL, LakeTable
 from .evolve import align_to_schema, evolve_schema
+from .merge import _check_write_consistency
 from .skew import plan_bucket_splits, with_salted_split
 
 
@@ -122,6 +123,9 @@ def merge_append(
         snap = table.commit(set(), [], batch_id=batch_id, operation="merge-append-empty")
         return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [], None)
     m = obs.get
+    # winners = one row per distinct key; footers must agree (duplicate
+    # task-commit guard, see operators/merge._check_write_consistency)
+    _check_write_consistency(int(m["distinct_keys"]), new_files)
     bucket_rows: dict[int, int] = {}
     for f in new_files:
         bucket_rows[f.bucket] = bucket_rows.get(f.bucket, 0) + f.rows
@@ -188,11 +192,14 @@ def compact(
             | (F.col(LSN_COL) >= tombstone_watermark_lsn)
         )
     df = df.withColumn("b", table.bucket_expr())
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     splits = plan_bucket_splits(
         [(b, sum(f.rows for f in fs)) for b, fs in victims.items()], target_rows_per_file
     )
     to_write = with_salted_split(df, "b", splits, salt_cols=table.merge_keys)
     new_files = table.write_data_files(to_write, table.schema(cur), cur["schema_version"])
+    _check_write_consistency(int(obs.get["rows"]), new_files)
 
     # resolved afterwards iff no bucket outside the victims has deltas
     leftover_multi = any(

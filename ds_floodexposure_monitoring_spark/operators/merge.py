@@ -61,6 +61,27 @@ class MergeStats:
         return asdict(self)
 
 
+def _check_write_consistency(observed_rows: int, new_files) -> None:
+    """Fail BEFORE commit if the committed data files disagree with the
+    write job's observed row count.
+
+    With fileoutputcommitter v2 a task attempt that commits and is then
+    re-executed (stage retry, speculation, lost task result) could leave
+    two part files for the same split in the destination; the footer
+    glob would then commit duplicated rows into the snapshot. The
+    df.observe counter sees each row exactly once, so any divergence
+    means the file set is wrong — abort the commit and leave the table
+    on its previous snapshot (the write dir is unreferenced garbage for
+    vacuum to collect)."""
+    footer_rows = sum(f.rows for f in new_files)
+    if footer_rows != observed_rows:
+        raise RuntimeError(
+            f"write inconsistency: parquet footers hold {footer_rows} rows but the "
+            f"write job produced {observed_rows}; duplicate or missing task outputs "
+            "— refusing to commit"
+        )
+
+
 def merge_into(
     table: LakeTable,
     batch_df: DataFrame,
@@ -188,6 +209,7 @@ def merge_into(
         to_write = with_salted_split(to_write, "b", splits, salt_cols=keys)
         new_files = table.write_data_files(to_write, write_schema, schema_version)
         agg = obs.get
+        _check_write_consistency(int(agg["rows"]), new_files)
 
         snap = table.commit(
             removed_paths,

@@ -40,10 +40,17 @@ def with_salted_split(
     bucket_col: str,
     splits: dict[int, int],
     salt_cols: Sequence[str] = ("conv_id", "turn_idx"),
-    seed: int = 1315423911,
+    seed: int = 2654435761,
 ) -> DataFrame:
     """Add ``_split`` ∈ [0, splits[bucket]) via salted hash of the full
-    merge key; cold buckets (splits==1) get a constant 0."""
+    merge key; cold buckets (splits==1) get a constant 0.
+
+    The salt input always appends a ``'split'`` literal (and uses a seed
+    constant distinct from ``LakeTable.BUCKET_SEED``): for a
+    single-column merge key, an identical hash input would make the
+    split hash a pure function of the bucket hash, so ``_split`` would
+    be constant per bucket whenever n_splits divides n_buckets —
+    silently disabling hot-bucket splitting."""
     spark = df.sparkSession
     splits_df = F.broadcast(
         spark.createDataFrame(
@@ -51,5 +58,5 @@ def with_salted_split(
         )
     )
     df = df.join(splits_df, on=bucket_col, how="left").na.fill({"_n_splits": 1})
-    salt = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(seed))
+    salt = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(seed), F.lit("split"))
     return df.withColumn("_split", F.pmod(salt, F.col("_n_splits")).cast("int")).drop("_n_splits")

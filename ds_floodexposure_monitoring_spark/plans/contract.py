@@ -13,6 +13,8 @@ Determinism rules used throughout (SURVEY.md §7.3):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -71,6 +73,7 @@ def lww_state(spark: SparkSession, sf: str) -> DataFrame:
     note="the REAL engine in the gate: 3 incremental MERGEs must equal one-shot LWW",
 )
 def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
     import shutil
     import tempfile
 
@@ -82,23 +85,24 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events").select("event_id", "user_id", "event_type", "value", "ts")
     # schema derived from the source so timestamp NTZ/LTZ flavor matches
     schema = T.StructType([f for f in ev.schema.fields if f.name != "event_id"])
-    tmp = tempfile.mkdtemp(prefix="cdcmerge-")
-    try:
-        t = LakeTable.create(
-            spark, f"{tmp}/t", schema, merge_keys=("user_id", "event_type"), n_buckets=8
-        )
-        hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
-        cuts = [hi // 3, 2 * hi // 3, hi]
-        lo = -1
-        for c in cuts:
-            batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
-            merge_into(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
-            lo = c
-        # materialize before the temp dir vanishes
-        rows = t.scan().select("user_id", "event_type", "value", "ts").collect()
-        return spark.createDataFrame(rows, schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # query-lifetime table dir (keyed by input path) so the result can be
+    # returned as a LAZY scan — no driver-side collect of the merged
+    # table; the dir is rebuilt on each call and reclaimed by the OS tmp
+    # reaper between sessions
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-cdcmerge-{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(
+        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"), n_buckets=8
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    lo = -1
+    for c in cuts:
+        batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
+        merge_into(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
+        lo = c
+    return t.scan().select("user_id", "event_type", "value", "ts")
 
 
 @_reg(
@@ -615,8 +619,14 @@ def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact integer microseconds: unix_timestamp() truncates to whole
+    # seconds, so a gap within 1s of the 30-min boundary would classify
+    # differently from the oracle's full-precision interval compare.
+    # (NTZ -> LTZ cast is a pure reinterpret under the UTC session TZ;
+    # unix_micros only accepts TIMESTAMP.)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -28,7 +28,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 JACCARD_T = 0.55
 DOC_SAMPLE_MOD = 10  # pairwise queries run on doc_id % MOD == 0
 KNN_QUERY_MOD = 50
+KNN_QUERY_LIMIT = 32  # constant cap: the query set never grows with the corpus
 KNN_K = 5
+CODEBOOK_K = 64  # fixed-size IVF codebook (constant in the corpus size)
 
 
 def _reg(name: str, sql: str | None, note: str = ""):
@@ -155,10 +157,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify of candidates only (the scale path: candidates << pairs)
+    # exact verify of candidates only (the scale path: candidates << pairs).
+    # Shuffle (hash) joins on doc_id, NOT broadcast: the token-set table
+    # is O(corpus) — shipping it to every executor is the one thing this
+    # plan must never do; candidates are few, so the joins stay cheap.
     sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wsa"))
     sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wsb"))
-    v = cand.join(F.broadcast(sets_a), "doc_a").join(F.broadcast(sets_b), "doc_b")
+    v = cand.join(sets_a, "doc_a").join(sets_b, "doc_b")
     inter = F.size(F.array_intersect("wsa", "wsb"))
     uni = F.size("wsa") + F.size("wsb") - inter
     jac = inter.cast("double") / uni
@@ -201,6 +206,7 @@ _KNN_SQL = f"""
       SELECT vec_id AS qid,
              list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
       FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+      ORDER BY vec_id LIMIT {KNN_QUERY_LIMIT}
     ),
     ev AS (
       SELECT vec_id AS nid,
@@ -237,7 +243,11 @@ def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings").select(
         "vec_id", VEC.quantize(F.col("embedding")).alias("v")
     )
-    qrows = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).collect()
+    # constant-bounded query set (never O(corpus) on the driver)
+    qrows = VEC.bounded_collect(
+        e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).orderBy("vec_id").limit(KNN_QUERY_LIMIT),
+        KNN_QUERY_LIMIT,
+    )
     # per-batch partial top-k inside the UDF (map-side combine for ANN):
     # only k rows per query per batch reach the final merge window
     scores = VEC.block_cosines(
@@ -317,7 +327,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 NEARDUP_COS_T = 0.35
 NEARDUP_MOD = 2
-IVF_CENTROID_MOD = 25  # vec_id % 25 == 1 -> deterministic centroid set
+NEARDUP_BLOCKS = 4  # self-join block grid; grows with corpus, bounds task memory
 IVF_NPROBE = 3
 
 
@@ -340,52 +350,84 @@ _NEARDUP_SQL = f"""
 @_reg(
     "embedding_neardup_cosine",
     _NEARDUP_SQL,
-    note="embedding-cosine near-dup via Arrow block-matmul: each partition's vectors hit the broadcast candidate matrix with one integer BLAS call (quantized-int dot: bit-identical across engines); scale path swaps full broadcast for LSH/IVF blocking",
+    note="embedding-cosine near-dup via a BLOCKED all-pairs self-join: block-grid grouped Arrow matmuls, zero driver-side collect, executor memory bounded by block size (quantized-int dot: bit-identical across engines)",
 )
 def embedding_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """All-pairs cosine near-dup on a sample, Arrow-vectorized.
+    """Exact all-pairs cosine near-dup, distributed as a block grid.
 
-    A per-row pairwise join evaluates the dot product with interpreted
-    higher-order functions — measured ~2x slower than an Arrow pandas
-    batch and ~10x slower than this block form, where ``mapInPandas``
-    multiplies each Arrow batch of vectors against the broadcast
-    candidate matrix in ONE integer matmul. Exact int64 math keeps the
-    result bit-identical to the DuckDB oracle. At corpus scale the
-    broadcast side becomes an LSH/IVF block (see ``ann_ivf``) instead of
-    the full sample."""
+    Rows hash into ``NEARDUP_BLOCKS`` blocks; every unordered block pair
+    (gi <= gj) becomes one ``applyInPandas`` group holding the two
+    blocks' vectors, scored with ONE integer matmul per group. Each row
+    is replicated NB+1 times through the shuffle — the standard cost of
+    exact all-pairs — but nothing is ever collected to the driver and a
+    task holds at most two blocks (NB scales with the corpus, so block
+    size, and therefore task memory, stays constant at 100 TB). Compare
+    ``ann_ivf`` for the sublinear approximate path. Exact int64 math
+    keeps the result bit-identical to the DuckDB all-pairs oracle;
+    rounding stays in Spark (numpy rounds half-to-even, the oracle
+    half-up)."""
     import numpy as np
     import pandas as pd
 
+    nb = NEARDUP_BLOCKS
     e = (
         table(spark, sf, "embeddings")
         .where(F.col("vec_id") % NEARDUP_MOD == 0)
         .select("vec_id", VEC.quantize(F.col("embedding")).alias("v"))
+        .withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int"))
     )
-    rows = e.collect()  # bounded sample: ids + quantized matrix, driver-side
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["v"] for r in rows], dtype=np.int64)
-    n2 = (M * M).sum(axis=1)
-    bc = e.sparkSession.sparkContext.broadcast((ids, M, n2))
+    grid = F.explode(F.array(*[F.lit(i) for i in range(nb)])).alias("other")
+    a = (
+        e.select("vec_id", "v", "blk", grid)
+        .where(F.col("other") >= F.col("blk"))
+        .select(
+            F.col("blk").alias("gi"), F.col("other").alias("gj"),
+            F.lit(0).alias("side"), "vec_id", "v",
+        )
+    )
+    b = (
+        e.select("vec_id", "v", "blk", grid)
+        .where(F.col("other") <= F.col("blk"))
+        .select(
+            F.col("other").alias("gi"), F.col("blk").alias("gj"),
+            F.lit(1).alias("side"), "vec_id", "v",
+        )
+    )
 
-    def block(batches):
-        b_ids, b_m, b_n2 = bc.value
-        for pdf in batches:
-            A = np.stack(pdf["v"].values).astype(np.int64)
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            dots = A @ b_m.T
-            a_n2 = (A * A).sum(axis=1)
-            cos = dots / np.sqrt(a_n2[:, None].astype(np.float64) * b_n2[None, :])
-            ai, bi = np.nonzero((cos >= NEARDUP_COS_T) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cosine": cos[ai, bi],  # rounding stays in Spark:
-                    # numpy rounds half-to-even, the oracle half-up
-                }
-            )
+    def block_pairs(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        a_pdf = pdf[pdf["side"] == 0]
+        b_pdf = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        A = np.stack(a_pdf["v"].values).astype(np.int64)
+        B = np.stack(b_pdf["v"].values).astype(np.int64)
+        a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        cos = (A @ B.T) / np.sqrt(
+            (A * A).sum(axis=1)[:, None].astype(np.float64) * (B * B).sum(axis=1)[None, :]
+        )
+        ai, bi = np.nonzero(cos >= NEARDUP_COS_T)
+        pa, pb, c = a_ids[ai], b_ids[bi], cos[ai, bi]
+        if gi == gj:  # same block on both sides: count each pair once
+            keep = pa < pb
+            pa, pb, c = pa[keep], pb[keep], c[keep]
+        else:  # disjoint id sets: normalize pair order
+            pa, pb = np.minimum(pa, pb), np.maximum(pa, pb)
+        return pd.DataFrame({"vec_a": pa, "vec_b": pb, "cosine": c})
 
-    out = e.mapInPandas(block, "vec_a long, vec_b long, cosine double")
+    out = (
+        a.unionByName(b)
+        .groupBy("gi", "gj")
+        .applyInPandas(block_pairs, "vec_a long, vec_b long, cosine double")
+    )
     return out.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -397,7 +439,7 @@ _IVF_SQL = f"""
     ),
     evn AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM ev),
     cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
-             FROM evn WHERE vec_id % {IVF_CENTROID_MOD} = 1),
+             FROM evn ORDER BY vec_id LIMIT {CODEBOOK_K}),
     sim AS (
       SELECT e.vec_id, c.cid,
              list_dot_product(e.v, c.cv)
@@ -438,7 +480,7 @@ _IVF_SQL = f"""
 @_reg(
     "ann_ivf",
     _IVF_SQL,
-    note="IVF-bucketed ANN (the scale path vs embedding_knn): deterministic centroid set (stand-in for a sampled k-means codebook), broadcast assign, nprobe-pruned candidate search — candidates << corpus",
+    note="IVF-bucketed ANN (the scale path vs embedding_knn): FIXED-SIZE codebook (stand-in for a sampled k-means codebook), broadcast assign, nprobe-pruned candidate search — candidates << corpus",
 )
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate nearest neighbour.
@@ -446,17 +488,18 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB the corpus is partitioned *by assigned cluster* (the
     inverted file); a query touches only its ``IVF_NPROBE`` clusters, so
     the scored candidate set is ~nprobe/n_centroids of the corpus. The
-    codebook is tiny and broadcast; only the probe->candidate join
-    shuffles, keyed on cluster id. Centroids here are the deterministic
-    ``vec_id % IVF_CENTROID_MOD == 1`` subset so the DuckDB oracle is
-    exact; production would plug a sampled k-means codebook into the
-    same plan."""
+    codebook is a CONSTANT ``CODEBOOK_K`` rows — independent of corpus
+    size — collected through the ``bounded_collect`` guard and
+    broadcast; only the probe->candidate join shuffles, keyed on
+    cluster id. The deterministic K-smallest-id codebook keeps the
+    DuckDB oracle exact; production would plug a sampled k-means
+    codebook into the same plan."""
     e = (
         table(spark, sf, "embeddings")
         .select("vec_id", VEC.quantize(F.col("embedding")).alias("v"))
         .withColumn("n2", VEC.q_norm2(F.col("v")))
     )
-    crows = e.where(F.col("vec_id") % IVF_CENTROID_MOD == 1).collect()
+    crows = VEC.bounded_collect(e.orderBy("vec_id").limit(CODEBOOK_K), CODEBOOK_K)
     # corpus x codebook scored via one Arrow matmul per batch; the UDF
     # emits only each row's top-nprobe centroids (rank 1 = assignment),
     # so neither the vector payload nor the raw corpus x C cross product

@@ -259,10 +259,12 @@ class LakeTable:
 
             out = dedup_last_writer(out, keys=snap["merge_keys"], order_cols=(LSN_COL,))
         if not include_internal:
-            # pushed down to the parquet scan (boolean column min/max)
-            out = out.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
-                LSN_COL, TOMBSTONE_COL
-            )
+            # IS NULL OR = false is a pushable predicate (Or(IsNull,
+            # EqualTo) reaches the parquet row-group stats); the
+            # equivalent ~coalesce(col, false) is not
+            out = out.where(
+                F.col(TOMBSTONE_COL).isNull() | (F.col(TOMBSTONE_COL) == F.lit(False))
+            ).drop(LSN_COL, TOMBSTONE_COL)
         return out
 
     # ---------------------------------------------------------- commit

@@ -60,11 +60,13 @@ def test_ann_ivf_codebook_broadcast_no_corpus_shuffle_for_assignment(spark):
     assert "BroadcastHashJoin" in p  # probes (tiny) joined to assignment
 
 
-def test_neardup_pairs_join_is_broadcast(spark):
-    # pairwise cosine near-dup on the sample: one side broadcasts; no
-    # sort-merge shuffle of the vector payloads
+def test_neardup_pairs_blocked_no_join_no_driver_collect(spark):
+    # blocked all-pairs self-join: the block grid shuffles on (gi, gj)
+    # into grouped Arrow matmuls — no join operator at all, no broadcast
+    # of an O(corpus) matrix, and (structurally) no driver-side collect
     p = _plan(spark, "embedding_neardup_cosine")
-    assert "SortMergeJoin" not in p
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
 def test_sessionize_single_shuffle(spark):
