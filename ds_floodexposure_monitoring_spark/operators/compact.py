@@ -120,7 +120,10 @@ def merge_append(
     to_write = with_salted_split(winners, "b", splits, salt_cols=keys)
     new_files = table.write_data_files(to_write, write_schema, schema_version)
     if not new_files:
-        snap = table.commit(set(), [], batch_id=batch_id, operation="merge-append-empty")
+        snap = table.commit(
+            set(), [], batch_id=batch_id, operation="merge-append-empty",
+            expected_parent_version=cur["version"],
+        )
         return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [], None)
     m = obs.get
     # winners = one row per distinct key; footers must agree (duplicate
@@ -138,6 +141,7 @@ def merge_append(
         operation="merge-append",
         requires_resolve=True,
         summary_extra={"batch_rows": int(m["batch_rows"])},
+        expected_parent_version=cur["version"],
     )
     rows_written = sum(f.rows for f in new_files)
     return AppendStats(
@@ -210,6 +214,7 @@ def compact(
         new_files,
         operation="compact",
         requires_resolve=leftover_multi,
+        expected_parent_version=cur["version"],
     )
     return CompactStats(
         buckets_compacted=len(victims),

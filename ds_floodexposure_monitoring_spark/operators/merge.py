@@ -126,7 +126,10 @@ def merge_into(
         )
         batch_rows = sum(r["n"] for r in census)
         if batch_rows == 0:
-            snap = table.commit(set(), [], batch_id=batch_id, operation="merge-empty")
+            snap = table.commit(
+                set(), [], batch_id=batch_id, operation="merge-empty",
+                expected_parent_version=cur["version"],
+            )
             return MergeStats(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, snap["version"], [], [])
         ranges = {r["b"]: (r["mn"], r["mx"], r["n"]) for r in census}
 
@@ -218,6 +221,7 @@ def merge_into(
             batch_id=batch_id,
             operation="merge",
             summary_extra={"batch_rows": batch_rows},
+            expected_parent_version=cur["version"],
         )
         return MergeStats(
             batch_rows=batch_rows,

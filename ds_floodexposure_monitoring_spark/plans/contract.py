@@ -415,6 +415,34 @@ def quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy("event_type", bucket.alias("bucket")).agg(F.count("*").alias("n"))
 
 
+@_reg(
+    "derive_replace_quantile",
+    _QB_SQL,
+    note="replace sink: derived quantile table dropped-and-recreated per run through the lake layer (update_exposure_quantile.py:98-105, codab.py:42-48); two runs, second wholesale-replaces the first",
+)
+def derive_replace_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.lake import LakeTable
+
+    b = _boundaries(spark, sf)
+    schema = T.StructType(b.schema.fields)
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-replace-{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(spark, f"{root}/t", schema, merge_keys=("event_type",), n_buckets=4)
+    # run 1 writes a stale subset; run 2 must wholesale-replace it
+    t.replace(b.limit(2))
+    t.replace(b)
+    # old files are physically reclaimed while the final state survives
+    t.expire_snapshots(keep_last=1)
+    return t.scan()
+
+
 # ---------------------------------------------------------------- joins
 @_reg(
     "asof_click_attribution",

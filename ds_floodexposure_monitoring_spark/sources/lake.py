@@ -8,9 +8,12 @@ replace:
 - **Snapshots**: ``metadata/v%08d.json`` lists every data file with
   per-file row counts and min/max merge-key stats (Iceberg manifest
   analog). ``metadata/HEAD`` names the current version.
-- **Atomic commit**: write-new-then-``os.replace`` of HEAD — atomic on
-  POSIX; single-writer assumption documented (Iceberg uses a catalog
-  CAS for the same purpose).
+- **Atomic commit with optimistic concurrency**: the snapshot file is
+  published with an exclusive create (``os.link`` CAS — exactly one of
+  two racing writers wins) and commits carry the version they were
+  planned against, so a writer that lost a race gets
+  ``CommitConflictError`` and retries after reload — the local-FS
+  equivalent of Iceberg's catalog CAS.
 - **Schema evolution**: each snapshot carries the full schema history;
   each data file is tagged with the schema version it was written
   under. Scans read per-version file groups and align them to the
@@ -77,6 +80,11 @@ class DataFile:
         )
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed first: the snapshot this commit was
+    planned against is no longer HEAD. Reload the table and re-apply."""
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -84,6 +92,32 @@ def _atomic_write(path: str, data: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def _atomic_create_exclusive(path: str, data: str) -> None:
+    """Publish a file atomically, failing if it already exists.
+
+    ``os.link`` of a fully-written temp file is the POSIX
+    compare-and-swap: exactly one of two racing writers creates the
+    final name; the loser gets EEXIST. This is the local-FS equivalent
+    of an Iceberg catalog CAS."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot {os.path.basename(path)} already exists: a concurrent "
+            "writer won the commit race"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 class LakeTable:
@@ -152,7 +186,13 @@ class LakeTable:
         return os.path.join(self._meta_dir, f"v{version:08d}.json")
 
     def _write_snapshot(self, snap: dict) -> None:
-        _atomic_write(self._snap_path(snap["version"]), json.dumps(snap, indent=1))
+        # exclusive-create is the CAS: two writers building the same next
+        # version race on the snapshot file; the loser raises
+        # CommitConflictError and must reload + retry (HEAD is only
+        # advanced by the winner, so it never goes backwards)
+        _atomic_create_exclusive(
+            self._snap_path(snap["version"]), json.dumps(snap, indent=1)
+        )
         _atomic_write(os.path.join(self._meta_dir, "HEAD"), str(snap["version"]))
         self._head = snap
 
@@ -169,11 +209,14 @@ class LakeTable:
             return json.load(f)
 
     def snapshots(self) -> list[dict]:
+        """All retained snapshots, oldest first (early versions may have
+        been removed by expire_snapshots)."""
+        import glob as _glob
+
         out = []
-        v = 1
-        while os.path.exists(self._snap_path(v)):
-            out.append(self.snapshot(v))
-            v += 1
+        for p in sorted(_glob.glob(os.path.join(self._meta_dir, "v*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
         return out
 
     # ---------------------------------------------------------- properties
@@ -277,13 +320,23 @@ class LakeTable:
         operation: str = "merge",
         summary_extra: dict | None = None,
         requires_resolve: bool | None = None,
+        expected_parent_version: int | None = None,
     ) -> dict:
         """Replace-files commit: untouched files carry over unchanged.
 
-        Single-writer atomicity via POSIX rename of HEAD (documented
-        assumption; a catalog CAS replaces this on a real deployment).
+        Optimistic concurrency: pass ``expected_parent_version`` (the
+        version the change was *planned* against) and the commit is
+        rejected with CommitConflictError if another writer advanced
+        HEAD in between — plus the exclusive snapshot-file create closes
+        the remaining race window, so of two simultaneous committers
+        exactly one wins (Iceberg catalog-CAS semantics on a local FS).
         """
         cur = self.current()
+        if expected_parent_version is not None and cur["version"] != expected_parent_version:
+            raise CommitConflictError(
+                f"table advanced to v{cur['version']} while this change was planned "
+                f"against v{expected_parent_version}; reload and retry"
+            )
         kept = [d for d in cur["files"] if d["path"] not in removed_paths]
         schemas = dict(cur["schemas"])
         schema_version = cur["schema_version"]
@@ -317,7 +370,120 @@ class LakeTable:
         return snap
 
     def committed_batch_ids(self) -> set[str]:
+        """Batch ids of all *retained* snapshots. After expire_snapshots
+        the replay-detection window shrinks to the retention horizon —
+        keep retention >= the checkpoint replay horizon (the checkpoint
+        already bounds how far back a batch can be re-offered)."""
         return {s["batch_id"] for s in self.snapshots() if s.get("batch_id")}
+
+    # ---------------------------------------------------------- replace sink
+    def replace(
+        self,
+        df: DataFrame,
+        batch_id: str | None = None,
+        target_rows_per_file: int = 2_000_000,
+    ) -> dict:
+        """Drop-and-recreate the table contents atomically (the
+        reference's ``if_exists="replace"`` derived-table pattern,
+        reference: src/datasources/codab.py:42-48,
+        pipelines/update_exposure_quantile.py:98-105).
+
+        The replacement schema is the incoming frame's schema (replace
+        may reshape the table wholesale, like a SQL CREATE OR REPLACE);
+        merge keys must still be present. Readers of the previous
+        snapshot keep a consistent view — old files are only *physically*
+        reclaimed by expire_snapshots/vacuum."""
+        from ..operators.merge import _check_write_consistency
+        from ..operators.skew import plan_bucket_splits, with_salted_split
+        from pyspark.sql import Observation
+
+        cur = self.current()
+        for k in self.merge_keys:
+            if k not in df.columns:
+                raise ValueError(f"replacement frame is missing merge key {k!r}")
+        new_schema = T.StructType(
+            [f for f in df.schema.fields if f.name not in INTERNAL_COLS]
+        )
+        schema_version = cur["schema_version"] + (
+            1 if json.loads(new_schema.json()) != cur["schemas"][str(cur["schema_version"])] else 0
+        )
+        out = df
+        if LSN_COL not in out.columns:
+            out = out.withColumn(LSN_COL, F.lit(0).cast("long"))
+        if TOMBSTONE_COL not in out.columns:
+            out = out.withColumn(TOMBSTONE_COL, F.lit(False))
+        out = out.withColumn("b", self.bucket_expr()).persist()
+        try:
+            census = out.groupBy("b").agg(F.count("*").alias("n")).collect()
+            splits = plan_bucket_splits(
+                [(r["b"], r["n"]) for r in census], target_rows_per_file
+            )
+            obs = Observation()
+            out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+            to_write = with_salted_split(out, "b", splits, salt_cols=self.merge_keys)
+            new_files = self.write_data_files(to_write, new_schema, schema_version)
+            _check_write_consistency(int(obs.get["rows"]), new_files)
+            return self.commit(
+                removed_paths={d["path"] for d in cur["files"]},
+                added_files=new_files,
+                new_schema=new_schema,
+                batch_id=batch_id,
+                operation="replace",
+                requires_resolve=False,
+                expected_parent_version=cur["version"],
+            )
+        finally:
+            out.unpersist()
+
+    # ---------------------------------------------------------- retention
+    def expire_snapshots(self, keep_last: int = 2, orphan_grace_sec: float = 0.0) -> dict:
+        """Expire all but the newest ``keep_last`` snapshots and
+        physically delete every data file no retained snapshot
+        references (replaced/rewritten files AND orphans from failed
+        writes). Time travel within the retention window keeps working;
+        scans of expired versions fail.
+
+        Storage-bound guarantee at 10^10 events: without this, every
+        per-batch COW rewrite strands its replaced files forever. Orphan deletion
+        assumes no concurrent writer is mid-write, or pass
+        ``orphan_grace_sec`` so files younger than the grace period
+        survive (Iceberg's remove_orphan_files retention interval).
+        """
+        import time as _time
+
+        snaps = self.snapshots()
+        head_version = self.version
+        cutoff = head_version - keep_last + 1
+        kept = [s for s in snaps if s["version"] >= cutoff]
+        expired = [s for s in snaps if s["version"] < cutoff]
+        referenced = {d["path"] for s in kept for d in s["files"]}
+
+        for s in expired:
+            os.remove(self._snap_path(s["version"]))
+
+        now = _time.time()
+        deleted_files = 0
+        data_root = os.path.join(self.path, "data")
+        for root, dirs, files in os.walk(data_root, topdown=False):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel in referenced:
+                    continue
+                if orphan_grace_sec and (now - os.path.getmtime(full)) < orphan_grace_sec:
+                    continue
+                os.remove(full)
+                deleted_files += 1
+            for d in dirs:
+                try:
+                    os.rmdir(os.path.join(root, d))
+                except OSError:
+                    pass  # not empty
+        return {
+            "expired_snapshots": len(expired),
+            "deleted_files": deleted_files,
+            "retained_versions": [s["version"] for s in kept],
+        }
 
     # ---------------------------------------------------------- write helper
     def write_data_files(
