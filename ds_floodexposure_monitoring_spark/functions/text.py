@@ -30,6 +30,22 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
 
 
+SHINGLE_K = 3
+
+
+def shingles(ws: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-grams (space-joined), the real near-dup shingling unit:
+    unigram sets saturate on shared vocabulary, k-grams capture local
+    word order. Empty array when the document has fewer than k words.
+    Pure JVM transform — no UDF."""
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
 def count_in(ws: Column, markers: tuple[str, ...]) -> Column:
     """How many tokens (with duplicates) fall in a marker set."""
     return F.size(F.filter(ws, lambda w: w.isin(*markers)))

