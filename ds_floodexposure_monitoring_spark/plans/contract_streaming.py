@@ -24,3 +24,40 @@ REGISTRY["streaming_windowed_counts"] = QuerySpec(
 
 def _run(spark: SparkSession, sf: str) -> DataFrame:
     return run_windowed_counts_sync(spark, f"{sf}/events.parquet")
+
+
+REGISTRY["streaming_sessionize"] = QuerySpec(
+    fn=lambda spark, sf: _run_sessions(spark, sf),
+    # identical semantics to the batch sessionize_events oracle: the
+    # stateful streaming operator must converge to the same sessions
+    # once the watermark closes them (strict 30-min gap, exact decimal
+    # value sums, per-user ordinal numbering)
+    oracle_sql="""
+    WITH t AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM t
+    )
+    SELECT user_id, CAST(sess AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM s GROUP BY 1, 2
+    """,
+    note="applyInPandasWithState gap sessionization (custom stateful streaming operator, event-time timeout closes sessions at the watermark); oracle = the batch sessionization SQL",
+)
+
+
+def _run_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.stateful import run_sessionize_stream_sync
+
+    return run_sessionize_stream_sync(spark, f"{sf}/events.parquet")

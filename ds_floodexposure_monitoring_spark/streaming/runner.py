@@ -45,11 +45,23 @@ class CDCPipeline:
         mode: str = "cow",
         compact_every: int = 8,
         compact_min_files: int = 4,
+        expire_every: int | None = None,
+        keep_snapshots: int = 8,
+        orphan_grace_sec: float = 3600.0,
     ):
         """``mode``: 'cow' rewrites affected buckets per batch (read-
         optimized); 'mor' appends delta files and resolves at scan
         (write-optimized — the 10^10-scale ingest path), compacting
-        every ``compact_every`` batches."""
+        every ``compact_every`` batches.
+
+        ``expire_every``: every N batches, expire snapshots beyond the
+        newest ``keep_snapshots`` and vacuum unreferenced data files.
+        Without this, sustained COW/compaction ingest strands every
+        replaced file forever — at 10^10 events storage grows without
+        bound. ``keep_snapshots`` must cover the replay-detection
+        horizon (the checkpoint already stops older batches from being
+        re-offered, and ``_committed`` caches every batch id seen this
+        run, so retention only has to cover a crash-restart window)."""
         self.spark = spark
         self.reader = ChangelogReader(spark, changelog_dir, max_events_per_batch)
         self.table = table
@@ -61,6 +73,9 @@ class CDCPipeline:
         self.mode = mode
         self.compact_every = compact_every
         self.compact_min_files = compact_min_files
+        self.expire_every = expire_every
+        self.keep_snapshots = keep_snapshots
+        self.orphan_grace_sec = orphan_grace_sec
         # replay-detection set: O(snapshots) once at startup, O(1) per batch
         self._committed = self.table.committed_batch_ids()
         # mor skew-split hint: previous batch's per-bucket winner rows
@@ -115,6 +130,11 @@ class CDCPipeline:
                     self.table,
                     min_files_per_bucket=self.compact_min_files,
                     target_rows_per_file=self.target_rows_per_file,
+                )
+            if self.expire_every and batch.batch_seq % self.expire_every == 0:
+                self.table.expire_snapshots(
+                    keep_last=self.keep_snapshots,
+                    orphan_grace_sec=self.orphan_grace_sec,
                 )
         self._committed.add(batch.batch_id)
 

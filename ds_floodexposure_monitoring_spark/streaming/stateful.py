@@ -1,0 +1,157 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (SURVEY §2.9/§2.10 — the arbitrary-stateful
+primitive; tumbling windows live in stream.py).
+
+Semantics match the batch ``sessionize_events`` contract query exactly:
+a session closes when the event-time gap exceeds ``gap`` (strictly —
+compared at full nanosecond precision with pandas Timedeltas), sessions
+are numbered per user in order, and ``session_value`` is an exact
+DECIMAL(18,2) sum (Arrow delivers the cast column as decimal.Decimal, so
+Python sums exactly like the oracle).
+
+State per user: the open session (start, last event ts, count, value
+sum) plus the next session number. Closed sessions are emitted as soon
+as a same-batch event closes them; the open session is emitted when the
+event-time watermark passes ``last_ts + gap`` (at that point no
+non-late event can extend it — any on-time event necessarily starts a
+new session, so the timeout close is exact, not approximate). After a
+timeout the per-user state is dropped — bounded state at 10^10 events;
+a user who returns later starts at session_no 1 again (documented
+divergence from the batch query, which numbers over all history).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_MIN = 30
+
+OUT_SCHEMA = (
+    "user_id long, session_no long, n_events long, "
+    "session_start timestamp, session_end timestamp, session_value double"
+)
+STATE_SCHEMA = (
+    "next_no long, start long, last long, n long, cents long"
+)  # timestamps as epoch-micros, value as exact cents
+
+
+def _sessionize_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    gap_us = GAP_MIN * 60 * 1_000_000
+    user_id = key[0]
+
+    def emit(no, start_us, last_us, n, cents):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_no": [no],
+                "n_events": [n],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "session_value": [cents / 100.0],
+            }
+        )
+
+    if state.hasTimedOut:
+        # watermark passed last_ts + gap: no non-late event can extend
+        # the open session; close it and drop the state
+        no, start, last, n, cents = state.get
+        state.remove()
+        yield emit(no, start, last, n, cents)
+        return
+
+    if state.exists:
+        next_no, start, last, n, cents = state.get
+    else:
+        next_no, start, last, n, cents = 1, None, None, 0, 0
+
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64") // 1_000  # ns -> us, exact
+        for t_us, v in zip(ts_us, pdf["vdec"]):
+            cents_v = int(v.scaleb(2))  # DECIMAL(18,2) -> exact integer cents
+            if start is None:
+                start, last, n, cents = t_us, t_us, 1, cents_v
+            elif t_us - last > gap_us:  # strict >, full precision
+                yield emit(next_no, start, last, n, cents)
+                next_no += 1
+                start, last, n, cents = t_us, t_us, 1, cents_v
+            else:
+                last = t_us
+                n += 1
+                cents += cents_v
+
+    if start is not None:
+        state.update((next_no, start, last, n, cents))
+        # fires once the event-time watermark passes the close boundary
+        state.setTimeoutTimestamp((last + gap_us) // 1_000)  # epoch ms
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "1 second") -> DataFrame:
+    """events(ts, user_id, event_id, value) -> closed sessions, streaming."""
+    src = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),  # watermark needs LTZ
+        F.col("value").cast("decimal(18,2)").alias("vdec"),
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessionize_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drive the stateful sessionizer to completion over a bounded file
+    source and return ALL sessions (open ones force-closed).
+
+    Two-phase drive: the real data is one micro-batch; then a single
+    far-future sentinel row (user_id = -1) advances the global event-time
+    watermark so every open session's timeout fires — the streaming
+    equivalent of end-of-input. The result then equals the batch
+    sessionization oracle exactly."""
+    import tempfile
+
+    static = spark.read.parquet(events_path)
+    d = tempfile.mkdtemp(prefix="statefulsrc-")
+    os.symlink(os.path.abspath(events_path), os.path.join(d, "part-0.parquet"))
+    src = spark.readStream.schema(static.schema).parquet(d)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # phase 2: sentinel advances the watermark past every open session
+        sentinel = spark.createDataFrame(
+            [(int(-1), int(-1), "sentinel", float(0), "{}")],
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.lit("2200-01-01 00:00:00").cast("timestamp_ntz"))
+        sentinel.select(*[f.name for f in static.schema.fields]).write.mode(
+            "append"
+        ).parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).where(F.col("user_id") >= 0).collect()
+    out = spark.createDataFrame(rows, sessionize_stream(static).schema)
+    return out.where(F.col("user_id") >= 0)

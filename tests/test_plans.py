@@ -69,6 +69,24 @@ def test_neardup_pairs_blocked_no_join_no_driver_collect(spark):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
+def test_transcript_assembly_grouped_arrow_single_shuffle(spark):
+    # grouped applyInPandas: ONE hashpartitioning(user_id) exchange feeds
+    # the Arrow group assembly — no extra sort-based shuffles
+    import re
+
+    p = _plan(spark, "transcript_assembly")
+    assert "FlatMapGroupsInPandas" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_rollup_grouping_sets_one_pass(spark):
+    # rollup() compiles to a single Expand + aggregate over ONE scan of
+    # the joined base — not three separate aggregations unioned
+    p = _plan(spark, "rollup_grouping_sets")
+    assert "Expand" in p
+    assert p.count("BroadcastHashJoin") >= 3  # dims still broadcast
+
+
 def test_sessionize_single_shuffle(spark):
     # hashpartitioning(user_id) from the window is reused by the final
     # groupBy(user_id, session_no) — Catalyst sees the partitioning

@@ -198,6 +198,44 @@ def test_mor_compact_tombstone_watermark(spark, env):
     assert engine_state(pipe.table) == before
 
 
+def test_retention_in_pipeline_bounds_storage_matches_oracle(spark, env):
+    """Pipeline with periodic snapshot expiration: the final state still
+    matches the oracle, no stranded physical files remain beyond what
+    retained snapshots reference, and the snapshot log stays bounded.
+    (Correctness does not even depend on replay detection across the
+    expired horizon: merge is order-corrected LWW, so re-applying an old
+    batch is a no-op — older LSNs lose to current rows and tombstones.)"""
+    root, changelog = env
+    tdir = os.path.join(root, "retention", "table")
+    table = LakeTable.create(spark, tdir, transcript_schema(), n_buckets=16)
+    pipe = CDCPipeline(
+        spark,
+        changelog,
+        table,
+        checkpoint_dir=os.path.join(root, "retention", "ckpt"),
+        max_events_per_batch=4_000,
+        target_rows_per_file=50_000,
+        mode="mor",
+        compact_every=2,
+        compact_min_files=2,
+        expire_every=2,
+        keep_snapshots=3,
+        orphan_grace_sec=0.0,
+    )
+    results = pipe.run_until_caught_up()
+    assert len(results) >= 4
+    assert engine_state(pipe.table) == oracle_state(changelog)
+
+    snaps = pipe.table.snapshots()
+    assert len(snaps) <= 3 + 2 * pipe.expire_every  # bounded, not ever-growing
+    referenced = {d["path"] for s in snaps for d in s["files"]}
+    physical = {
+        os.path.relpath(p, pipe.table.path)
+        for p in glob.glob(os.path.join(pipe.table.path, "data", "**", "*.parquet"), recursive=True)
+    }
+    assert physical == referenced  # zero stranded files
+
+
 def test_different_batch_sizes_same_final_state(spark, env):
     root, changelog = env
     pipe = make_pipeline(spark, root, changelog, "bigbatch", max_events=1_000_000)
