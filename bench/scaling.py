@@ -172,6 +172,19 @@ def main() -> None:
     best = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
     rn, rw = best[N_CORES], best[WIDE_CORES]
     eff = rw["events_per_sec"] / (4 * rn["events_per_sec"])
+    # Paired efficiency: the two widths of trial t run back-to-back, so
+    # a steal epoch hits both sides of pair t. Independent best-of can
+    # systematically favor whichever width caught a clean epoch; the
+    # median of per-pair efficiencies is robust to that bias, so both
+    # are reported and the HEADLINE is the more conservative (smaller).
+    paired = sorted(
+        runs[WIDE_CORES][t]["events_per_sec"] / (4 * runs[N_CORES][t]["events_per_sec"])
+        for t in range(trials)
+    )
+    eff_paired = paired[trials // 2] if trials % 2 else (
+        (paired[trials // 2 - 1] + paired[trials // 2]) / 2
+    )
+    eff_headline = min(eff, eff_paired)
 
     def row(label, r):
         return (f"| {label} | {r['wall_sec']:.1f} | {r['events']:,} | "
@@ -210,7 +223,12 @@ narrow run borrows idle vCPUs and overstates its throughput.
 All trial walls (s): `{json.dumps(all_walls)}`
 
 **Scaling efficiency = throughput(4N) / (4 x throughput(N)) =
-{eff:.3f}** (target >= 0.8 per BASELINE.json).
+{eff_headline:.3f}** (target >= 0.8 per BASELINE.json). Two estimators,
+headline = the more conservative: best-of per width {eff:.3f}; median of
+per-pair efficiencies {eff_paired:.3f} (each trial's two widths run
+back-to-back, so a steal epoch hits both sides of a pair — pairing
+removes the bias where independent best-of favors whichever width
+caught a clean epoch; per-pair values {json.dumps([round(p, 3) for p in paired])}).
 
 Per-batch walls at 4N (ms): {rw['batch_wall_ms']}; timed-run GC:
 {rw.get('gc_sec', 0.0):.2f}s (GC is not a factor — heap is per-core sized).
@@ -230,7 +248,12 @@ partial aggregation.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"n": rn, "wide": rw, "efficiency": round(eff, 3)}))
+    print(json.dumps({
+        "n": rn, "wide": rw, "efficiency": round(eff_headline, 3),
+        "efficiency_best_of": round(eff, 3),
+        "efficiency_paired_median": round(eff_paired, 3),
+        "paired": [round(p, 3) for p in paired],
+    }))
 
     import shutil
 

@@ -1,0 +1,243 @@
+"""spark-submit entrypoint for the CDC engine (north_rule deployment
+surface: ``spark-submit --py-files`` on a multi-executor cluster).
+
+Cluster deployment::
+
+    cd <repo>
+    zip -qr /tmp/engine.zip ds_floodexposure_monitoring_spark
+    spark-submit --master <cluster-master> \\
+        --py-files /tmp/engine.zip \\
+        run_job.py ingest \\
+        --log-dir   s3a://.../changelog \\
+        --table-dir s3a://.../transcripts \\
+        --checkpoint-dir s3a://.../ckpt \\
+        --metrics-dir s3a://.../metrics --mode mor
+
+``run_job.py`` (repo root) is a shim that calls :func:`main`; locally
+``python -m ds_floodexposure_monitoring_spark.cli ingest ...`` runs the
+same code on ``local[N]``. When ``--master`` is omitted the session
+factory defers to whatever master spark-submit supplies (a real
+cluster) or falls back to ``local[$SPARK_GRAFT_CPUS]``.
+
+Subcommands mirror the engine lifecycle: ``datagen`` (seeded synthetic
+change log), ``ingest`` (resume-from-checkpoint micro-batch replay),
+``compact`` (MOR delta folding), ``expire`` (snapshot retention +
+orphan vacuum), ``show`` (table state). Every subcommand prints one
+JSON summary line on stdout so cluster logs stay machine-parseable.
+
+Reference analog: the repo's pipelines are invoked as module scripts
+per run (reference: pipelines/update_floodscan.py:1-30); this CLI is
+that surface made transactional and resumable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import types as T
+
+
+def _spark(args, app_name: str):
+    from .session import get_spark
+
+    return get_spark(app_name=app_name, master=args.master)
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj))
+
+
+def cmd_datagen(args) -> int:
+    from .datagen import ChangeLogSpec, generate_changelog
+
+    spark = _spark(args, "cdc-datagen")
+    spec = ChangeLogSpec(
+        n_events=args.events,
+        n_convs=max(args.events // 50, 100),
+        n_shards=args.shards,
+        dup_rate=args.dup_rate,
+        delete_rate=args.delete_rate,
+        ooo_window=args.ooo_window,
+        schema_change_at=args.schema_change_at,
+        events_per_file=max(args.events // 64, 10_000),
+        seed=args.seed,
+    )
+    generate_changelog(spark, spec, args.log_dir)
+    _emit({"op": "datagen", "log_dir": args.log_dir, "events": args.events,
+           "shards": args.shards, "seed": args.seed})
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from .datagen.transcripts import transcript_schema
+    from .sources.lake import LakeTable
+    from .streaming.runner import CDCPipeline
+
+    spark = _spark(args, "cdc-ingest")
+    if LakeTable.exists(args.table_dir):
+        table = LakeTable.load(spark, args.table_dir)
+    else:
+        schema = (
+            T.StructType.fromJson(json.load(open(args.schema_json)))
+            if args.schema_json
+            else transcript_schema()
+        )
+        table = LakeTable.create(
+            spark, args.table_dir, schema,
+            merge_keys=tuple(args.merge_keys.split(",")),
+            n_buckets=args.n_buckets,
+        )
+    pipe = CDCPipeline(
+        spark,
+        args.log_dir,
+        table,
+        args.checkpoint_dir,
+        metrics_dir=args.metrics_dir,
+        max_events_per_batch=args.batch_events,
+        target_rows_per_file=args.rows_per_file,
+        mode=args.mode,
+        compact_every=args.compact_every,
+        compact_min_files=args.compact_min_files,
+        expire_every=args.expire_every,
+        keep_snapshots=args.keep_snapshots,
+        orphan_grace_sec=args.orphan_grace_sec,
+    )
+    results = pipe.run_until_caught_up(max_batches=args.max_batches)
+    events = sum(r.batch.n_events for r in results)
+    wall = sum(r.wall_ms for r in results) / 1000.0
+    _emit({
+        "op": "ingest", "table_dir": args.table_dir, "mode": args.mode,
+        "batches": len(results),
+        "replayed_batches": sum(1 for r in results if r.replayed),
+        "events": events,
+        "events_per_sec": round(events / wall, 1) if wall > 0 else None,
+        "final_version": table.version,
+        "final_rows": table.total_rows(),
+    })
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .operators.compact import compact
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-compact")
+    table = LakeTable.load(spark, args.table_dir)
+    before = len(table.files())
+    compact(
+        table,
+        min_files_per_bucket=args.compact_min_files,
+        target_rows_per_file=args.rows_per_file,
+    )
+    _emit({"op": "compact", "table_dir": args.table_dir,
+           "files_before": before, "files_after": len(table.files()),
+           "final_version": table.version})
+    return 0
+
+
+def cmd_expire(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-expire")
+    table = LakeTable.load(spark, args.table_dir)
+    res = table.expire_snapshots(
+        keep_last=args.keep_snapshots, orphan_grace_sec=args.orphan_grace_sec
+    )
+    _emit({"op": "expire", "table_dir": args.table_dir, **res})
+    return 0
+
+
+def cmd_show(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-show")
+    table = LakeTable.load(spark, args.table_dir)
+    snap = table.current()
+    _emit({
+        "op": "show", "table_dir": args.table_dir,
+        "version": snap["version"], "snapshot_id": snap["snapshot_id"],
+        "schema_version": snap["schema_version"],
+        "schema": table.schema().simpleString(),
+        "merge_keys": snap["merge_keys"], "n_buckets": snap["n_buckets"],
+        "requires_resolve": snap.get("requires_resolve", False),
+        "files": len(snap["files"]), "rows": table.total_rows(),
+        # logical count: LWW-resolved, tombstones filtered (one count
+        # job; physical "rows" above is metadata-only and includes
+        # not-yet-compacted delta versions + tombstones under MOR)
+        "live_rows": table.scan().count(),
+    })
+    return 0
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None,
+                   help="Spark master; omit under spark-submit (cluster provides it)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="ds_floodexposure_monitoring_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("datagen", help="generate a seeded synthetic change log")
+    _add_common(g)
+    g.add_argument("--log-dir", required=True)
+    g.add_argument("--events", type=int, default=1_000_000)
+    g.add_argument("--shards", type=int, default=8)
+    g.add_argument("--dup-rate", type=float, default=0.05)
+    g.add_argument("--delete-rate", type=float, default=0.02)
+    g.add_argument("--ooo-window", type=int, default=1_000)
+    g.add_argument("--schema-change-at", type=int, default=None)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_datagen)
+
+    i = sub.add_parser("ingest", help="replay the change log into the lake table")
+    _add_common(i)
+    i.add_argument("--log-dir", required=True)
+    i.add_argument("--table-dir", required=True)
+    i.add_argument("--checkpoint-dir", required=True)
+    i.add_argument("--metrics-dir", default=None)
+    i.add_argument("--schema-json", default=None,
+                   help="StructType JSON file for table create (default: transcript schema)")
+    i.add_argument("--merge-keys", default="conv_id,turn_idx")
+    i.add_argument("--n-buckets", type=int, default=64)
+    i.add_argument("--batch-events", type=int, default=1_000_000)
+    i.add_argument("--rows-per-file", type=int, default=2_000_000)
+    i.add_argument("--mode", choices=("cow", "mor"), default="mor")
+    i.add_argument("--compact-every", type=int, default=8)
+    i.add_argument("--compact-min-files", type=int, default=4)
+    i.add_argument("--expire-every", type=int, default=None)
+    i.add_argument("--keep-snapshots", type=int, default=8)
+    i.add_argument("--orphan-grace-sec", type=float, default=3600.0)
+    i.add_argument("--max-batches", type=int, default=None)
+    i.set_defaults(fn=cmd_ingest)
+
+    c = sub.add_parser("compact", help="fold MOR delta files into base files")
+    _add_common(c)
+    c.add_argument("--table-dir", required=True)
+    c.add_argument("--compact-min-files", type=int, default=2)
+    c.add_argument("--rows-per-file", type=int, default=2_000_000)
+    c.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("expire", help="expire snapshots + vacuum orphan files")
+    _add_common(e)
+    e.add_argument("--table-dir", required=True)
+    e.add_argument("--keep-snapshots", type=int, default=8)
+    e.add_argument("--orphan-grace-sec", type=float, default=3600.0)
+    e.set_defaults(fn=cmd_expire)
+
+    s = sub.add_parser("show", help="print table state")
+    _add_common(s)
+    s.add_argument("--table-dir", required=True)
+    s.set_defaults(fn=cmd_show)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

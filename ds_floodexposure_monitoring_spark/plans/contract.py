@@ -106,6 +106,61 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "cdc_change_feed",
+    """
+    WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),
+    b3 AS (
+      SELECT user_id, event_type, value, ts, event_id
+      FROM events, h WHERE event_id > cut
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    ),
+    prior AS (SELECT DISTINCT user_id, event_type FROM events, h WHERE event_id <= cut)
+    SELECT b3.user_id, b3.event_type, b3.value, b3.ts,
+           b3.event_id AS change_lsn,
+           CASE WHEN p.user_id IS NULL THEN 'insert' ELSE 'update' END AS change_type
+    FROM b3 LEFT JOIN prior p
+      ON b3.user_id = p.user_id AND b3.event_type = p.event_type
+    """,
+    note="Iceberg CDF analog: snapshot-diff change feed between two commits "
+         "(metadata bucket pruning + one key-partitioned diff join); the "
+         "reference's changed-(iso3,date) incremental detection "
+         "(floodscan.py:196-213) as a first-class table API",
+)
+def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply 3 MOR batches, then read the row-level changes the third
+    batch caused: scan_changes(v_after_batch2, v_after_batch3)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.compact import merge_append
+    from ..sources.lake import LakeTable
+
+    ev = table(spark, sf, "events").select("event_id", "user_id", "event_type", "value", "ts")
+    schema = T.StructType([f for f in ev.schema.fields if f.name != "event_id"])
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-cdcfeed-{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(
+        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"), n_buckets=8
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    lo = -1
+    versions = []
+    for c in cuts:
+        batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
+        merge_append(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
+        versions.append(t.version)
+        lo = c
+    return t.scan_changes(versions[1], versions[2]).select(
+        "user_id", "event_type", "value", "ts", "change_lsn", "change_type"
+    )
+
+
+@_reg(
     "anti_join_new_keys",
     """
     SELECT c_custkey, c_name FROM customer c

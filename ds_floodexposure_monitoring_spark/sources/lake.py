@@ -310,6 +310,87 @@ class LakeTable:
             ).drop(LSN_COL, TOMBSTONE_COL)
         return out
 
+    # ---------------------------------------------------------- change feed
+    def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between two retained snapshots (the
+        Iceberg changelog-scan / Delta CDF analog): every key whose
+        live state differs between ``from_version`` and ``to_version``
+        (default HEAD), as one row with ``change_type`` in
+        ('insert', 'update', 'delete').
+
+        Output: merge keys + data columns (post-image; pre-image for
+        deletes) + ``change_type`` + ``change_lsn`` (the LSN that made
+        the change; the replaced row's LSN for deletes whose tombstone
+        was already compacted away).
+
+        Designed as a *snapshot diff*, not a log replay, so it is exact
+        under every operation mix — out-of-order deliveries where a
+        window's delta loses to an older base row with a higher LSN,
+        compaction (pure rewrite → empty feed), replace, schema
+        evolution (both sides aligned to the newer schema). Scale shape:
+        buckets whose data-file sets are identical in both snapshots
+        cannot differ and are pruned from BOTH scans using metadata
+        only; the remaining diff is one key-partitioned full-outer join
+        over just the touched buckets. The reference analog is the
+        changed-(iso3, date) detection that drives its incremental
+        recompute (reference: src/datasources/floodscan.py:196-213).
+
+        Both snapshots must still be retained (expire_snapshots removes
+        old versions; calls past the retention horizon fail)."""
+        to_version = self.version if to_version is None else to_version
+        if from_version > to_version:
+            raise ValueError(f"from_version {from_version} > to_version {to_version}")
+        old_snap = self.snapshot(from_version)
+        new_snap = self.snapshot(to_version)
+        target = self.schema(new_snap)
+        keys = new_snap["merge_keys"]
+        data_cols = [f.name for f in target.fields if f.name not in keys]
+
+        by_bucket: dict[int, list[set[str]]] = {}
+        for i, snap in enumerate((old_snap, new_snap)):
+            for d in snap["files"]:
+                by_bucket.setdefault(d["bucket"], [set(), set()])[i].add(d["path"])
+        changed = {b for b, (o, n) in by_bucket.items() if o != n}
+
+        def side(snap: dict, version: int, tag: str) -> DataFrame:
+            flist = [f for f in self.files(snap) if f.bucket in changed]
+            df = self.scan(version=version, include_internal=True, files=flist)
+            df = align_to_schema(df, target, keep_extra=[LSN_COL, TOMBSTONE_COL])
+            return df.select(
+                *keys,
+                *[F.col(c).alias(f"{tag}{c}") for c in data_cols],
+                F.col(LSN_COL).alias(f"{tag}lsn"),
+                F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(f"{tag}dead"),
+                F.lit(True).alias(f"{tag}present"),
+            )
+
+        o = side(old_snap, from_version, "_o_")
+        n = side(new_snap, to_version, "_n_")
+        j = o.join(n, on=keys, how="full_outer")
+        old_alive = F.coalesce(F.col("_o_present"), F.lit(False)) & ~F.col("_o_dead")
+        new_alive = F.coalesce(F.col("_n_present"), F.lit(False)) & ~F.col("_n_dead")
+        change = (
+            F.when(~old_alive & new_alive, F.lit("insert"))
+            .when(old_alive & new_alive & (F.col("_o_lsn") != F.col("_n_lsn")), F.lit("update"))
+            .when(old_alive & ~new_alive, F.lit("delete"))
+        )
+        is_delete = F.col("change_type") == "delete"
+        return (
+            j.withColumn("change_type", change)
+            .where(F.col("change_type").isNotNull())
+            .select(
+                *keys,
+                *[
+                    F.when(is_delete, F.col(f"_o_{c}")).otherwise(F.col(f"_n_{c}")).alias(c)
+                    for c in data_cols
+                ],
+                F.when(is_delete, F.coalesce(F.col("_n_lsn"), F.col("_o_lsn")))
+                .otherwise(F.col("_n_lsn"))
+                .alias("change_lsn"),
+                "change_type",
+            )
+        )
+
     # ---------------------------------------------------------- commit
     def commit(
         self,

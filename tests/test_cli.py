@@ -1,0 +1,63 @@
+"""End-to-end lifecycle through the spark-submit CLI surface
+(cli.main drives the same code paths a cluster run exercises)."""
+
+import json
+
+import pytest
+
+from ds_floodexposure_monitoring_spark.cli import main
+
+
+def _run(capsys, argv):
+    rc = main(argv + ["--master", "local[4]"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_lifecycle(spark, tmpdir_path, capsys):
+    log = f"{tmpdir_path}/log"
+    table = f"{tmpdir_path}/table"
+    ckpt = f"{tmpdir_path}/ckpt"
+
+    g = _run(capsys, ["datagen", "--log-dir", log, "--events", "20000",
+                      "--shards", "2", "--seed", "7"])
+    assert g["events"] == 20000
+
+    i1 = _run(capsys, ["ingest", "--log-dir", log, "--table-dir", table,
+                       "--checkpoint-dir", ckpt, "--mode", "mor",
+                       "--batch-events", "8000", "--n-buckets", "8",
+                       "--compact-every", "2"])
+    assert i1["batches"] >= 2 and i1["final_rows"] > 0
+
+    # resumability: caught up -> zero new batches, state unchanged
+    i2 = _run(capsys, ["ingest", "--log-dir", log, "--table-dir", table,
+                       "--checkpoint-dir", ckpt, "--mode", "mor"])
+    assert i2["batches"] == 0
+    assert i2["final_version"] == i1["final_version"]
+    assert i2["final_rows"] == i1["final_rows"]
+
+    s = _run(capsys, ["show", "--table-dir", table])
+    assert s["rows"] == i1["final_rows"]
+    assert s["merge_keys"] == ["conv_id", "turn_idx"]
+    live = s["live_rows"]
+
+    c = _run(capsys, ["compact", "--table-dir", table,
+                      "--compact-min-files", "1"])
+    assert c["files_after"] <= c["files_before"]
+
+    e = _run(capsys, ["expire", "--table-dir", table,
+                      "--keep-snapshots", "1", "--orphan-grace-sec", "0"])
+    assert e["retained_versions"][-1] == _run(
+        capsys, ["show", "--table-dir", table])["version"]
+
+    # table still reads clean after compact + vacuum: logical state
+    # unchanged (physical rows shrink as compaction resolves deltas)
+    s2 = _run(capsys, ["show", "--table-dir", table])
+    assert s2["live_rows"] == live
+
+
+def test_cli_rejects_bad_mode(spark):
+    with pytest.raises(SystemExit):
+        main(["ingest", "--log-dir", "x", "--table-dir", "y",
+              "--checkpoint-dir", "z", "--mode", "bogus"])

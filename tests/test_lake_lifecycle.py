@@ -129,3 +129,81 @@ def test_raw_snapshot_race_exactly_one_winner(spark, tmpdir_path):
     b._head = b.snapshot(1)
     with pytest.raises(CommitConflictError):
         b._write_snapshot({**b.snapshot(1), "version": 2})
+
+
+# ---------------------------------------------------------- change feed
+
+
+def _feed(t, v0, v1):
+    return {
+        (r.conv_id, r.turn_idx): (r.change_type, r.text, r.change_lsn)
+        for r in t.scan_changes(v0, v1).collect()
+    }
+
+
+def test_scan_changes_insert_update_delete(spark, tmpdir_path):
+    from ds_floodexposure_monitoring_spark.operators.compact import merge_append
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, n_buckets=4)
+    merge_append(t, _batch(spark, [("a", 0, "a0", 1), ("b", 0, "b0", 2), ("c", 0, "c0", 3)]))
+    v1 = t.version
+
+    df = spark.createDataFrame(
+        [("a", 0, "a1", 10, "U"), ("d", 0, "d0", 11, "I"), ("c", 0, None, 12, "D")],
+        "conv_id string, turn_idx int, text string, lsn long, op string",
+    )
+    merge_append(t, df, op_col="op")
+    v2 = t.version
+
+    feed = _feed(t, v1, v2)
+    assert feed == {
+        ("a", 0): ("update", "a1", 10),
+        ("d", 0): ("insert", "d0", 11),
+        ("c", 0): ("delete", "c0", 12),  # pre-image payload, tombstone LSN
+    }
+    # unchanged key 'b' absent; full-window feed sees d/a/b as inserts
+    assert ("b", 0) not in feed
+    full = _feed(t, 1, v2)
+    assert full[("b", 0)] == ("insert", "b0", 2)
+    assert full[("a", 0)] == ("insert", "a1", 10)
+    assert ("c", 0) not in full  # dead at both ends -> no change
+
+
+def test_scan_changes_compaction_is_silent(spark, tmpdir_path):
+    from ds_floodexposure_monitoring_spark.operators.compact import compact, merge_append
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, n_buckets=2)
+    merge_append(t, _batch(spark, [("a", 0, "a0", 1), ("b", 0, "b0", 2)]))
+    merge_append(t, _batch(spark, [("a", 0, "a1", 3)]))
+    v_before = t.version
+    assert compact(t, min_files_per_bucket=1) is not None
+    # pure rewrite: feed across the compaction commit is empty
+    assert _feed(t, v_before, t.version) == {}
+
+
+def test_scan_changes_out_of_order_lsn_not_reported(spark, tmpdir_path):
+    """A later batch whose row LOSES LWW to the base (stale cross-batch
+    delivery) must not appear in the feed — snapshot diff, not log tail."""
+    from ds_floodexposure_monitoring_spark.operators.compact import merge_append
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, n_buckets=2)
+    merge_append(t, _batch(spark, [("a", 0, "fresh", 100)]))
+    v1 = t.version
+    merge_append(t, _batch(spark, [("a", 0, "stale", 50), ("b", 0, "new", 51)]))
+    feed = _feed(t, v1, t.version)
+    assert feed == {("b", 0): ("insert", "new", 51)}
+
+
+def test_scan_changes_across_schema_evolution(spark, tmpdir_path):
+    from ds_floodexposure_monitoring_spark.operators.compact import merge_append
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, n_buckets=2)
+    merge_append(t, _batch(spark, [("a", 0, "a0", 1)]))
+    v1 = t.version
+    df = spark.createDataFrame(
+        [("b", 0, "b0", "gpt", 2)],
+        "conv_id string, turn_idx int, text string, model string, lsn long",
+    )
+    merge_append(t, df)
+    rows = {(r.conv_id): (r.change_type, r.model) for r in t.scan_changes(v1).collect()}
+    assert rows == {"b": ("insert", "gpt")}  # old side aligned to new schema
