@@ -49,6 +49,7 @@ HEADLINE = [
     "embedding_neardup_cosine",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "neardup_clusters",
     "token_count",
     "doc_fingerprint",
     "quality_score",
@@ -81,6 +82,15 @@ def run_cdc_ingest(spark, sf_label: float, cpus: int) -> dict:
 
     n_events = max(int(CDC_EVENTS_PER_SF * sf_label), 50_000)
     root = tempfile.mkdtemp(prefix="benchcdc-")
+    # Same scan-width regime as bench/scaling.py: enough changelog files
+    # that a half-input batch fans out to >= cores scan tasks, and 16 MB
+    # scan partitions so the 128 MB default doesn't pack the whole batch
+    # into 1-2 tasks at bench scale (production batches are 100x larger
+    # where the default already yields thousands of tasks). The conf is
+    # runtime-settable; restore after so the headline queries keep the
+    # production default.
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     try:
         spec = ChangeLogSpec(
             n_events=n_events,
@@ -90,7 +100,7 @@ def run_cdc_ingest(spark, sf_label: float, cpus: int) -> dict:
             delete_rate=0.02,
             ooo_window=1_000,
             schema_change_at=None,
-            events_per_file=max(n_events // 16, 10_000),
+            events_per_file=max(n_events // 64, 10_000),
             seed=42,
         )
         generate_changelog(spark, spec, f"{root}/log")
@@ -112,9 +122,12 @@ def run_cdc_ingest(spark, sf_label: float, cpus: int) -> dict:
                 compact_min_files=4,
             )
 
-        # JIT warm-up through every code path, then best-of-TRIALS timed
-        # replays with production-regime (half-input) batches
-        make_pipe("-warm", 120_000).run_until_caught_up(max_batches=2)
+        # JIT warm-up with FULL-SIZE batches through every code path
+        # (small warm batches leave hot loops under-JITed and the first
+        # timed batch pays ~2x — measured in bench/scaling.py), then
+        # best-of-TRIALS timed replays with production-regime
+        # (half-input) batches
+        make_pipe("-warm", max(n_events // 2, 100_000)).run_until_caught_up(max_batches=2)
         trials = []
         for t in range(TRIALS):
             pipe = make_pipe(f"-t{t}", max(n_events // 2, 100_000))
@@ -136,6 +149,7 @@ def run_cdc_ingest(spark, sf_label: float, cpus: int) -> dict:
         best["trial_secs"] = [round(r["sec"], 3) for r in trials]
         return best
     finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         shutil.rmtree(root, ignore_errors=True)
 
 

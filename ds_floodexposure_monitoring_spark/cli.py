@@ -171,6 +171,36 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_metrics(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .streaming.lineage import MetricsLog
+
+    spark = _spark(args, "cdc-metrics")
+    log = MetricsLog(spark, args.metrics_dir)
+    df = log.read()
+    agg = df.agg(
+        F.count("*").alias("batches"),
+        F.sum("events").alias("events"),
+        F.sum(F.when(F.col("replayed"), 1).otherwise(0)).alias("replayed_batches"),
+        F.sum("dedup_dropped").alias("dedup_dropped"),
+        F.round(F.avg("events_per_sec"), 1).alias("avg_events_per_sec"),
+        F.max("snapshot_version").alias("last_snapshot_version"),
+        F.max("batch_seq").alias("last_batch_seq"),
+    ).collect()[0]
+    out = {"op": "metrics", "metrics_dir": args.metrics_dir, **agg.asDict()}
+    if args.tail:
+        tail = (
+            df.orderBy(F.desc("batch_seq")).limit(args.tail)
+            .select("batch_seq", "batch_id", "events", "events_per_sec",
+                    "snapshot_version", "replayed")
+            .collect()
+        )
+        out["tail"] = [r.asDict() for r in reversed(tail)]
+    _emit(out)
+    return 0
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--master", default=None,
                    help="Spark master; omit under spark-submit (cluster provides it)")
@@ -231,6 +261,13 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(s)
     s.add_argument("--table-dir", required=True)
     s.set_defaults(fn=cmd_show)
+
+    m = sub.add_parser("metrics", help="summarize the lineage/metrics table")
+    _add_common(m)
+    m.add_argument("--metrics-dir", required=True)
+    m.add_argument("--tail", type=int, default=0,
+                   help="also print the last N per-batch lineage rows")
+    m.set_defaults(fn=cmd_metrics)
     return ap
 
 

@@ -202,7 +202,9 @@ def compact(
         [(b, sum(f.rows for f in fs)) for b, fs in victims.items()], target_rows_per_file
     )
     to_write = with_salted_split(df, "b", splits, salt_cols=table.merge_keys)
-    new_files = table.write_data_files(to_write, table.schema(cur), cur["schema_version"])
+    new_files = table.write_data_files(
+        to_write, table.schema(cur), cur["schema_version"], sort_by=table.merge_keys
+    )
     _check_write_consistency(int(obs.get["rows"]), new_files)
 
     # resolved afterwards iff no bucket outside the victims has deltas

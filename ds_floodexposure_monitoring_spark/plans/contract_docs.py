@@ -58,8 +58,8 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_JACCARD_SQL = f"""
-    WITH sw AS (
+_JACCARD_CTES = """
+    sw AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     sample_docs AS (
@@ -75,6 +75,9 @@ _JACCARD_SQL = f"""
       FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+_JACCARD_SELECT = f"""
     SELECT doc_a, doc_b,
            ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
     FROM common
@@ -82,6 +85,8 @@ _JACCARD_SQL = f"""
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_T}
 """
+
+_JACCARD_SQL = f"WITH {_JACCARD_CTES} {_JACCARD_SELECT}"
 
 
 def _shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
@@ -106,20 +111,51 @@ def _shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
 @_reg(
     "ngram_jaccard_pairs",
     _JACCARD_SQL,
-    note="exact set-similarity join over word 3-shingle sets, pairwise Jaccard >= t on the FULL corpus (near-dup ground truth for the LSH path; shingle selectivity keeps the common-token join near-linear)",
+    note="exact set-similarity join over word 3-shingle sets, pairwise Jaccard >= t on the FULL corpus, via the prefix-filtered AllPairs join (candidates only from rare-shingle prefixes; exact — no recall loss)",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Jaccard>=t pairs with PREFIX FILTERING (AllPairs/PPJoin):
+    order each document's shingles by global rarity and self-join only
+    the first ``n - ceil(t*n) + 1`` of them — two sets with Jaccard >= t
+    MUST share an element inside these prefixes, so the candidate set
+    is a provable superset of the answer while hot (high-df) shingles
+    never enter the pair-generating join. Exact intersection counts are
+    then computed for candidates only. At corpus scale this is the
+    difference between the join blowing up quadratically on the hottest
+    shingle and staying near-linear: pair generation is driven by RARE
+    shingles, verification cost is O(candidates x doc size)."""
     docs = _shingle_sets(spark, sf)
     toks = docs.select("doc_id", F.explode("ws").alias("w"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    sizes = docs.select("doc_id", F.size("ws").alias("n"))
+    dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
+    prefix_len = F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
+    prefix = (
+        toks.join(dfreq, "w")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
+        )
+        .join(F.broadcast(sizes), "doc_id")
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "w")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    cand = (
+        pa.join(pb, (F.col("wa") == F.col("wb")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "w")
     common = (
-        ta.join(tb, (F.col("wa") == F.col("wb")) & (F.col("doc_a") < F.col("doc_b")))
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    sizes_a = docs.select(F.col("doc_id").alias("doc_a"), F.size("ws").alias("na"))
-    sizes_b = docs.select(F.col("doc_id").alias("doc_b"), F.size("ws").alias("nb"))
+    sizes_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sizes_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = common.join(F.broadcast(sizes_a), "doc_a").join(F.broadcast(sizes_b), "doc_b")
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return j.where(jac >= JACCARD_T).select(
@@ -184,6 +220,88 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     jac = inter.cast("double") / uni
     return v.where(jac >= JACCARD_T).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS ({_JACCARD_SELECT}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+"""
+
+
+@_reg(
+    "neardup_clusters",
+    _CLUSTERS_SQL,
+    note="dedup clusters: connected components over the exact near-dup pair "
+         "graph via iterative min-label propagation (each cluster keeps one "
+         "representative = min doc_id); oracle is a recursive-CTE transitive "
+         "closure over the same pairs",
+)
+def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components of the near-dup graph — the step that turns
+    pairs into KEEP/DROP decisions in a training-data dedup pipeline.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round replaces a node's label with the min over itself
+    and its neighbours' labels; at fixpoint every node carries the min
+    id of its component. Each round is ONE shuffle join keyed on node
+    id + one map-side-combined min agg, and ``localCheckpoint`` truncates
+    the lineage so the plan stays flat across rounds. Rounds needed =
+    component diameter — near-dup clusters are dense (dup groups are
+    near-cliques), so this converges in a handful of rounds even at
+    corpus scale; the loop stops at the first round with zero label
+    changes and is hard-capped to catch pathological chains."""
+    pairs = ngram_jaccard_pairs(spark, sf).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("neardup_clusters did not converge in 20 rounds")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
@@ -513,6 +631,11 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         table(spark, sf, "embeddings")
         .select("vec_id", VEC.quantize(F.col("embedding")).alias("v"))
         .withColumn("n2", VEC.q_norm2(F.col("v")))
+        # referenced 3x (assign / probe / candidate): persist the
+        # quantized corpus once instead of re-scanning + re-quantizing
+        # per branch (IVF builds are multi-pass by nature; on a cluster
+        # this is the memory-and-disk cached inverted-file input)
+        .persist()
     )
     crows = VEC.bounded_collect(e.orderBy("vec_id").limit(CODEBOOK_K), CODEBOOK_K)
     # corpus x codebook scored via one Arrow matmul per batch; the UDF

@@ -120,6 +120,31 @@ def _atomic_create_exclusive(path: str, data: str) -> None:
             pass
 
 
+def _dedupe_task_attempts(paths: list[str]) -> list[str]:
+    """Drop duplicate task-attempt outputs before manifest-building.
+
+    Under fileoutputcommitter v2 a task attempt that commits and is then
+    re-executed (stage retry, speculation, lost task result) can leave
+    TWO part files for the same task partition in the same directory —
+    ``part-00007-<uuidA>…`` and ``part-00007-<uuidB>…``. Both hold the
+    identical rows (the write plan is deterministic per partition), so
+    keep exactly one per (directory, part index) — smallest name, for
+    determinism — and delete the extras now rather than leaving them as
+    orphans. Genuine corruption (extra rows NOT explained by a
+    duplicated attempt) still trips the downstream row-count
+    consistency guard (operators/merge._check_write_consistency)."""
+    keep: dict[tuple[str, str], str] = {}
+    for p in sorted(paths):
+        name = os.path.basename(p)
+        part = name.split("-")[1] if name.startswith("part-") else name
+        keep.setdefault((os.path.dirname(p), part), p)
+    kept = set(keep.values())
+    for p in paths:
+        if p not in kept:
+            os.remove(p)
+    return sorted(kept)
+
+
 class LakeTable:
     """A bucketed, snapshot-versioned, merge-keyed lake table."""
 
@@ -309,6 +334,45 @@ class LakeTable:
                 F.col(TOMBSTONE_COL).isNull() | (F.col(TOMBSTONE_COL) == F.lit(False))
             ).drop(LSN_COL, TOMBSTONE_COL)
         return out
+
+    # ---------------------------------------------------------- point lookup
+    def prune_for_keys(self, values: list, snapshot: dict | None = None) -> list[DataFile]:
+        """Metadata-only file pruning for a set of first-merge-key
+        values: keep a file iff its bucket can hold one of the values
+        AND its footer [min_key, max_key] range can contain it. The
+        bucket of each value is computed with the exact on-write hash
+        (one tiny k-row Spark job — xxhash64 is JVM-side), so this never
+        misses a file. At 10^10 rows this is the 'read one conversation'
+        path: O(values) metadata work + a scan of only the few files
+        that can match (reference analog: the per-(iso3, date) blob-key
+        addressing, src/datasources/floodscan.py:346-352)."""
+        snap = snapshot or self.current()
+        key0 = snap["merge_keys"][0]
+        field = next(f for f in self.schema(snap).fields if f.name == key0)
+        vdf = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([field])
+        )
+        rows = vdf.select(F.col(key0), self.bucket_expr().alias("b")).collect()
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            by_bucket.setdefault(r["b"], []).append(r[key0])
+        out = []
+        for f in self.files(snap):
+            vals = by_bucket.get(f.bucket)
+            if not vals:
+                continue
+            if f.min_key is not None and f.max_key is not None:
+                if all(v < f.min_key or v > f.max_key for v in vals):
+                    continue
+            out.append(f)
+        return out
+
+    def lookup(self, values: list) -> DataFrame:
+        """Point lookup by first merge key (LWW-resolved, tombstones
+        filtered), reading only the files `prune_for_keys` keeps."""
+        key0 = self.merge_keys[0]
+        flist = self.prune_for_keys(values)
+        return self.scan(files=flist).where(F.col(key0).isin(list(values)))
 
     # ---------------------------------------------------------- change feed
     def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -568,7 +632,11 @@ class LakeTable:
 
     # ---------------------------------------------------------- write helper
     def write_data_files(
-        self, df: DataFrame, write_schema: T.StructType, schema_version: int
+        self,
+        df: DataFrame,
+        write_schema: T.StructType,
+        schema_version: int,
+        sort_by: list[str] | None = None,
     ) -> list[DataFile]:
         """Write rows (table-schema columns + _lsn + 'b' bucket + '_split')
         as new parquet data files and return their metadata.
@@ -587,10 +655,16 @@ class LakeTable:
         out_dir = os.path.join(self.path, commit_dir)
         key0 = self.merge_keys[0]
 
+        to_write = df.repartition(F.col("b"), F.col("_split")).drop("_split")
+        if sort_by:
+            # read-optimized files (compaction passes the merge keys):
+            # rows sorted by key within each file give tight per-row-
+            # group min/max footer stats, so point lookups prune at
+            # row-group granularity, not just file granularity. The hot
+            # ingest path skips this — deltas stay write-fast.
+            to_write = to_write.sortWithinPartitions("b", *sort_by)
         (
-            df.repartition(F.col("b"), F.col("_split"))
-            .drop("_split")
-            .write.mode("overwrite")
+            to_write.write.mode("overwrite")
             .partitionBy("b")
             .parquet(out_dir)
         )
@@ -623,7 +697,9 @@ class LakeTable:
             bucket = int(rel.split("b=")[1].split("/")[0])
             return DataFile(rel, bucket, md.num_rows, mn, mx, schema_version)
 
-        paths = _glob.glob(os.path.join(out_dir, "b=*", "*.parquet"))
+        paths = _dedupe_task_attempts(
+            _glob.glob(os.path.join(out_dir, "b=*", "*.parquet"))
+        )
         if not paths:
             return []
         with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:

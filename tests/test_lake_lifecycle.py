@@ -207,3 +207,74 @@ def test_scan_changes_across_schema_evolution(spark, tmpdir_path):
     merge_append(t, df)
     rows = {(r.conv_id): (r.change_type, r.model) for r in t.scan_changes(v1).collect()}
     assert rows == {"b": ("insert", "gpt")}  # old side aligned to new schema
+
+
+# ---------------------------------------------------------- point lookup
+
+
+def test_lookup_prunes_files_and_matches_scan(spark, tmpdir_path):
+    from ds_floodexposure_monitoring_spark.operators.compact import merge_append
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, n_buckets=8)
+    rows = [(f"conv{i}", j, f"t{i}-{j}", i * 100 + j) for i in range(40) for j in range(3)]
+    merge_append(t, _batch(spark, rows))
+    merge_append(t, _batch(spark, [("conv7", 0, "updated", 99_999)]))
+
+    flist = t.prune_for_keys(["conv7"])
+    assert 1 <= len(flist) < len(t.files())  # metadata pruning really pruned
+    got = sorted((r.conv_id, r.turn_idx, r.text) for r in t.lookup(["conv7"]).collect())
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.scan().where(F.col("conv_id") == "conv7").collect()
+    )
+    assert got == want and got[0][2] == "updated"
+
+    # multi-key lookup spanning buckets
+    many = t.lookup(["conv3", "conv19"]).collect()
+    assert {r.conv_id for r in many} == {"conv3", "conv19"}
+
+
+def test_compaction_sorts_files_by_merge_key(spark, tmpdir_path):
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from ds_floodexposure_monitoring_spark.operators.compact import compact, merge_append
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, n_buckets=2)
+    rows = [(f"c{i:03d}", j, "x", i * 10 + j) for i in range(50) for j in range(2)]
+    merge_append(t, _batch(spark, rows))
+    merge_append(t, _batch(spark, [("c000", 1, "y", 10_000)]))
+    assert compact(t, min_files_per_bucket=1) is not None
+    for p in _glob.glob(f"{t.path}/data/**/*.parquet", recursive=True):
+        rel = p.replace(t.path + "/", "")
+        if rel not in {f.path for f in t.files()}:
+            continue
+        tb = pq.read_table(p, columns=["conv_id", "turn_idx"]).to_pydict()
+        pairs = list(zip(tb["conv_id"], tb["turn_idx"]))
+        assert pairs == sorted(pairs), f"{rel} not key-sorted"
+
+
+def test_dedupe_task_attempts(tmpdir_path):
+    """Duplicate task-attempt part files (committer v2 stage retry) are
+    healed by keeping one file per (dir, part index)."""
+    from ds_floodexposure_monitoring_spark.sources.lake import _dedupe_task_attempts
+
+    d1 = os.path.join(tmpdir_path, "b=0")
+    d2 = os.path.join(tmpdir_path, "b=1")
+    os.makedirs(d1), os.makedirs(d2)
+    names = [
+        (d1, "part-00007-aaaa-c000.snappy.parquet"),
+        (d1, "part-00007-bbbb-c000.snappy.parquet"),  # retry duplicate
+        (d1, "part-00003-cccc-c000.snappy.parquet"),
+        (d2, "part-00007-dddd-c000.snappy.parquet"),  # same index, other dir: kept
+    ]
+    paths = []
+    for d, n in names:
+        p = os.path.join(d, n)
+        open(p, "w").write("x")
+        paths.append(p)
+    kept = _dedupe_task_attempts(list(paths))
+    assert kept == sorted([paths[0], paths[2], paths[3]])
+    assert not os.path.exists(paths[1])  # extra attempt physically removed
+    assert os.path.exists(paths[3])
