@@ -105,6 +105,41 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
     return t.scan().select("user_id", "event_type", "value", "ts")
 
 
+def _staged_events_table(spark: SparkSession, sf: str, tag: str):
+    """Build a MOR lake table from `events` in 3 LSN-ordered batches
+    (thirds of event_id), returning (table, [version after each batch]).
+    Shared scaffold for the change-feed / time-travel / incremental-rollup
+    contract queries; the directory is per-(sf, tag) and rebuilt per call
+    so each query is self-contained and deterministic."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.compact import merge_append
+    from ..sources.lake import LakeTable
+
+    ev = table(spark, sf, "events").select("event_id", "user_id", "event_type", "value", "ts")
+    schema = T.StructType([f for f in ev.schema.fields if f.name != "event_id"])
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-{tag}-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(
+        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"), n_buckets=8
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    lo = -1
+    versions = [t.version]  # creation snapshot, then one per batch
+    for c in cuts:
+        batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
+        merge_append(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
+        versions.append(t.version)
+        lo = c
+    return t, versions
+
+
 @_reg(
     "cdc_change_feed",
     """
@@ -129,35 +164,86 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
 def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Apply 3 MOR batches, then read the row-level changes the third
     batch caused: scan_changes(v_after_batch2, v_after_batch3)."""
-    import hashlib
-    import shutil
-    import tempfile
-
-    from pyspark.sql import types as T
-
-    from ..operators.compact import merge_append
-    from ..sources.lake import LakeTable
-
-    ev = table(spark, sf, "events").select("event_id", "user_id", "event_type", "value", "ts")
-    schema = T.StructType([f for f in ev.schema.fields if f.name != "event_id"])
-    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-cdcfeed-{tag}")
-    shutil.rmtree(root, ignore_errors=True)
-    t = LakeTable.create(
-        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"), n_buckets=8
-    )
-    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
-    cuts = [hi // 3, 2 * hi // 3, hi]
-    lo = -1
-    versions = []
-    for c in cuts:
-        batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
-        merge_append(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
-        versions.append(t.version)
-        lo = c
-    return t.scan_changes(versions[1], versions[2]).select(
+    t, versions = _staged_events_table(spark, sf, "cdcfeed")
+    return t.scan_changes(versions[2], versions[3]).select(
         "user_id", "event_type", "value", "ts", "change_lsn", "change_type"
     )
+
+
+@_reg(
+    "time_travel_scan",
+    """
+    WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events)
+    SELECT user_id, event_type, value, ts
+    FROM events, h WHERE event_id <= cut
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="snapshot time travel: scan(version=v) of a retained historical "
+         "snapshot is a pure metadata operation (the old file list), no "
+         "data rewrite — Iceberg VERSION AS OF analog over the same "
+         "bucketed scan path",
+)
+def time_travel_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply 3 MOR batches, then scan the table AS OF the snapshot after
+    batch 2 — the live LWW state over the first two-thirds of the log."""
+    t, versions = _staged_events_table(spark, sf, "timetravel")
+    return t.scan(version=versions[2]).select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
+    "incremental_rollup_refresh",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value,
+           MAX(ts) AS last_ts
+    FROM s GROUP BY user_id
+    """,
+    note="changed-groups-only materialized rollup maintenance: the "
+         "reference's recompute-only-changed-(iso3,date) semantics "
+         "(floodscan.py:196-213) lifted to derived aggregate tables — "
+         "each refresh reads the snapshot-diff change feed, recomputes "
+         "only touched groups, and MERGEs them into the derived table; "
+         "after 3 incremental refreshes the derived state must equal a "
+         "full recompute (this oracle)",
+)
+def incremental_rollup_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintain a per-user rollup incrementally across the 3 staged
+    batches; return the derived table's final state."""
+    from pyspark.sql import types as T
+
+    from ..operators.incremental import refresh_rollup
+    from ..sources.lake import LakeTable
+
+    t, versions = _staged_events_table(spark, sf, "increll")
+    derived = LakeTable.create(
+        spark,
+        os.path.join(os.path.dirname(t.path), "rollup"),
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("n_types", T.LongType()),
+                T.StructField("total_value", T.DoubleType()),
+                T.StructField("last_ts", T.TimestampType()),
+            ]
+        ),
+        merge_keys=("user_id",),
+        n_buckets=4,
+    )
+    aggs = lambda: [  # noqa: E731
+        F.count("*").alias("n_types"),
+        F.round(_msum("value"), 6).alias("total_value"),
+        F.max("ts").cast("timestamp").alias("last_ts"),
+    ]
+    prev = versions[0]
+    for v in versions[1:]:
+        refresh_rollup(t, derived, ("user_id",), aggs, from_version=prev, to_version=v)
+        prev = v
+    return derived.scan().select("user_id", "n_types", "total_value", "last_ts")
 
 
 @_reg(
