@@ -247,6 +247,76 @@ def incremental_rollup_refresh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "schema_evolution_merge",
+    """
+    WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),
+    s AS (
+      SELECT user_id, event_type,
+             CASE WHEN event_id <= cut
+                  THEN CAST(CAST(value AS REAL) AS DOUBLE)  -- written as float pre-widen
+                  ELSE value END AS value,
+             ts,
+             CASE WHEN event_id > cut THEN props END AS props
+      FROM events, h
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_type, value, ts, props FROM s
+    """,
+    note="automatic mid-stream schema evolution applied before the merge "
+         "(north_rule): batches 1-2 write value as FLOAT with no props "
+         "column; batch 3 arrives with value DOUBLE (type widen) and a "
+         "new props column (add-column). The final scan reads all three "
+         "batches under the evolved schema — pre-widen rows surface at "
+         "float precision cast up, pre-add rows surface NULL props — "
+         "exactly Iceberg UpdateSchema-then-MERGE semantics",
+)
+def schema_evolution_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """3 MOR batches with a type-widen + add-column between batches 2
+    and 3; return the final scan under the evolved schema."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.compact import merge_append
+    from ..sources.lake import LakeTable
+
+    ev = table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts", "props"
+    )
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-schemaevo-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(
+        spark,
+        f"{root}/t",
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.FloatType()),  # pre-widen type
+                T.StructField("ts", next(f for f in ev.schema.fields if f.name == "ts").dataType),
+            ]
+        ),
+        merge_keys=("user_id", "event_type"),
+        n_buckets=8,
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    lo = -1
+    for i, c in enumerate(cuts):
+        batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
+        if i < 2:  # original schema: float value, no props
+            batch = batch.withColumn("value", F.col("value").cast("float")).drop("props")
+        merge_append(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
+        lo = c
+    return t.scan().select(
+        "user_id", "event_type", F.col("value").cast("double").alias("value"), "ts", "props"
+    )
+
+
+@_reg(
     "anti_join_new_keys",
     """
     SELECT c_custkey, c_name FROM customer c

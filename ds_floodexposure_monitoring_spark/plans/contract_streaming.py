@@ -26,6 +26,32 @@ def _run(spark: SparkSession, sf: str) -> DataFrame:
     return run_windowed_counts_sync(spark, f"{sf}/events.parquet")
 
 
+REGISTRY["streaming_join_enrich"] = QuerySpec(
+    fn=lambda spark, sf: _run_enriched(spark, sf),
+    oracle_sql="""
+    SELECT time_bucket(INTERVAL '1 day', e.ts) AS win_start, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    note="stream-static broadcast enrichment join (stateless per "
+         "micro-batch, no join state) feeding the watermarked windowed "
+         "agg; oracle is the equivalent batch join + GROUP BY",
+)
+
+
+def _run_enriched(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.stream import run_enriched_counts_sync
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_nationkey")
+    nat = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey", "n_name")
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select("c_custkey", "n_name")
+    return run_enriched_counts_sync(spark, f"{sf}/events.parquet", dim)
+
+
 REGISTRY["streaming_sessionize"] = QuerySpec(
     fn=lambda spark, sf: _run_sessions(spark, sf),
     # identical semantics to the batch sessionize_events oracle: the

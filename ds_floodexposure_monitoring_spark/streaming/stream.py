@@ -93,6 +93,77 @@ def windowed_counts(
     )
 
 
+def enriched_windowed_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    join_key: tuple[str, str] = ("user_id", "c_custkey"),
+    group_col: str = "n_name",
+    window_len: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-static enrichment join + event-time windowed aggregation.
+
+    The §2.3 fact×dim broadcast join lifted into Structured Streaming:
+    stream-static inner joins are stateless (each micro-batch joins
+    against the static side independently; no join state, no watermark
+    interaction), so the dim is broadcast exactly as in the batch plan
+    and the only stateful operator remains the windowed agg. At scale
+    the static side is the small dimension table — broadcast keeps the
+    stream side shuffle-free until the aggregation."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    left, right = join_key
+    joined = events.join(F.broadcast(dim), events[left] == dim[right], "inner")
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("win"), group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(F.col("win.start").alias("win_start"), group_col, "n", "total")
+    )
+
+
+def _stream_from_file(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """File streaming source over a single parquet file (the source API
+    requires a directory; stage via symlink)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="streamsrc-")
+    os.symlink(os.path.abspath(path), os.path.join(d, "part-0.parquet"))
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def _drain_to_df(spark: SparkSession, streaming_df: DataFrame, out_schema) -> DataFrame:
+    """Run a complete-mode streaming aggregation to completion over its
+    bounded source (memory sink) and return the final result."""
+    name = f"snk_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    return spark.createDataFrame(rows, out_schema)
+
+
+def run_enriched_counts_sync(
+    spark: SparkSession, events_path: str, dim: DataFrame
+) -> DataFrame:
+    """Drive the stream-static join + windowed agg to completion over a
+    bounded file source."""
+    static = spark.read.parquet(events_path)
+    src = _stream_from_file(spark, events_path, static.schema)
+    out_schema = enriched_windowed_counts(static, dim).schema
+    return _drain_to_df(spark, enriched_windowed_counts(src, dim), out_schema)
+
+
 def run_windowed_counts_sync(spark: SparkSession, events_path: str) -> DataFrame:
     """Drive the streaming windowed agg to completion over a bounded
     file source (memory sink) and return the result as a DataFrame."""
