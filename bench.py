@@ -56,7 +56,13 @@ HEADLINE = [
     "multimodal_decode",
 ]
 
-CDC_EVENTS_PER_SF = 10_000_000  # sf0.1 -> 1M events
+# sf0.1 -> 16M events: the same production-size-batch regime as
+# bench/scaling.py (3 batches of ~8M). At 1M events (the old setting)
+# the ~1.3s/batch fixed cost (plan, commit, checkpoint, footer stats)
+# dominates and the replay reads ~200k ev/s — a fixed-cost artifact,
+# not the engine's sustained rate; at 8M-event batches the same code
+# sustains ~600k ev/s pinned local[8] (BENCH/BASELINE.md).
+CDC_EVENTS_PER_SF = 160_000_000
 TRIALS = 2  # best-of-K alternating trials (noisy-host methodology)
 
 
