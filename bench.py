@@ -33,6 +33,8 @@ HEADLINE = [
     "flagship_daily_health",
     "lww_state",
     "cdc_merge_full",
+    "incremental_rollup_refresh",
+    "schema_evolution_merge",
     "zonal_rollup",
     "hierarchy_rollup",
     "rolling_mean_range",
