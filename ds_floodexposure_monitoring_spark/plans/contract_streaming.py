@@ -52,6 +52,29 @@ def _run_enriched(spark: SparkSession, sf: str) -> DataFrame:
     return run_enriched_counts_sync(spark, f"{sf}/events.parquet", dim)
 
 
+REGISTRY["streaming_lww_dedup"] = QuerySpec(
+    fn=lambda spark, sf: _run_lww(spark, sf),
+    # same semantics as the batch lww_state query: the stateful streaming
+    # dedup must converge to the identical per-key winners once the
+    # watermark flushes every key
+    oracle_sql="""
+    SELECT user_id, event_type, value, ts AS last_ts, event_id AS last_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="applyInPandasWithState keyed last-writer-wins dedup (state = one "
+         "winner row per key, evicted at the watermark); the streaming "
+         "twin of the per-batch LWW inside the MERGE path — oracle is the "
+         "batch lww_state SQL",
+)
+
+
+def _run_lww(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.stateful import run_lww_dedup_stream_sync
+
+    return run_lww_dedup_stream_sync(spark, f"{sf}/events.parquet")
+
+
 REGISTRY["streaming_sessionize"] = QuerySpec(
     fn=lambda spark, sf: _run_sessions(spark, sf),
     # identical semantics to the batch sessionize_events oracle: the

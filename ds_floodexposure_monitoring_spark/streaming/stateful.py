@@ -116,6 +116,126 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 second") -> DataFra
     )
 
 
+LWW_OUT_SCHEMA = (
+    "user_id long, event_type string, value double, "
+    "last_ts timestamp, last_event_id long"
+)
+LWW_STATE_SCHEMA = "lsn long, value double, ts_us long"
+LWW_QUIET_US = 1_000_000  # emit a key once it is quiet past the watermark
+
+
+def _lww_fn(key, pdfs, state: GroupState):
+    """Keyed last-writer-wins: keep the max-LSN row per key in state;
+    emit it when the event-time watermark passes the key's last activity
+    plus a quiet period (at that point no admissible — non-late — event
+    remains unprocessed for the key, so the winner is final among all
+    accepted events). LSN order is decoupled from event time: a late-but-
+    in-watermark event with a HIGHER ts and LOWER event_id still loses,
+    exactly like the batch merge."""
+    import pandas as pd
+
+    user_id, event_type = key
+
+    def emit(lsn, value, ts_us):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "value": [value],
+                "last_ts": [pd.Timestamp(ts_us, unit="us")],
+                "last_event_id": [lsn],
+            }
+        )
+
+    if state.hasTimedOut:
+        lsn, value, ts_us = state.get
+        state.remove()  # bounded state: quiet keys leave the store
+        yield emit(lsn, value, ts_us)
+        return
+
+    if state.exists:
+        lsn, value, ts_us = state.get
+    else:
+        lsn, value, ts_us = None, None, None
+    max_seen_us = ts_us or 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        i = pdf["event_id"].idxmax()
+        cand_lsn = int(pdf["event_id"].loc[i])
+        ev_us = pdf["ts"].astype("int64") // 1_000
+        max_seen_us = max(max_seen_us, int(ev_us.max()))
+        if lsn is None or cand_lsn > lsn:
+            lsn = cand_lsn
+            value = float(pdf["value"].loc[i])
+            ts_us = int(ev_us.loc[i])
+    if lsn is not None:
+        state.update((lsn, value, ts_us))
+        state.setTimeoutTimestamp((max_seen_us + LWW_QUIET_US) // 1_000)  # epoch ms
+
+
+def lww_dedup_stream(events: DataFrame, watermark: str = "1 second") -> DataFrame:
+    """Streaming CDC dedup: per (user_id, event_type), the row with the
+    highest event_id (LSN) among all non-late events — the stateful
+    streaming twin of operators/dedup.dedup_last_writer and the per-batch
+    dedup inside the MERGE path. State per key is one row (the current
+    winner), evicted at the watermark — bounded at 10^10 events by live
+    key count, not event count."""
+    src = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _lww_fn,
+            LWW_OUT_SCHEMA,
+            LWW_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_lww_dedup_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drive the streaming LWW dedup to completion over a bounded file
+    source (sentinel row advances the watermark to flush every key) and
+    return the final per-key winners."""
+    import tempfile
+
+    static = spark.read.parquet(events_path)
+    d = tempfile.mkdtemp(prefix="lwwsrc-")
+    os.symlink(os.path.abspath(events_path), os.path.join(d, "part-0.parquet"))
+    src = spark.readStream.schema(static.schema).parquet(d)
+    name = f"lww_{uuid.uuid4().hex[:8]}"
+    q = (
+        lww_dedup_stream(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sentinel = spark.createDataFrame(
+            [(int(-1), int(-1), "sentinel", float(0), "{}")],
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.lit("2200-01-01 00:00:00").cast("timestamp_ntz"))
+        sentinel.select(*[f.name for f in static.schema.fields]).write.mode(
+            "append"
+        ).parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).where(F.col("user_id") >= 0).collect()
+    out = spark.createDataFrame(rows, lww_dedup_stream(static).schema)
+    return out.where(F.col("user_id") >= 0)
+
+
 def run_sessionize_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
     """Drive the stateful sessionizer to completion over a bounded file
     source and return ALL sessions (open ones force-closed).
