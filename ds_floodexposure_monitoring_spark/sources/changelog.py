@@ -56,6 +56,9 @@ class MicroBatch:
     offsets_before: dict[int, int]
     offsets_after: dict[int, int]
     batch_seq: int
+    # events discovered but deferred to later batches (metadata-only
+    # count at plan time) — the source-lag metric
+    backlog_events: int = 0
 
     @property
     def n_events(self) -> int:
@@ -121,7 +124,8 @@ class ChangelogReader:
         after = dict(offsets)
         for f in picked:
             after[f.shard] = max(after.get(f.shard, 0), f.end_seq)
-        return MicroBatch(picked, dict(offsets), after, batch_seq)
+        backlog = sum(f.n_events for f in available) - total
+        return MicroBatch(picked, dict(offsets), after, batch_seq, backlog)
 
     # ------------------------------------------------------------ reading
     def _file_schema(self, path: str) -> T.StructType:

@@ -30,6 +30,10 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("files_added", T.LongType(), True),
         T.StructField("wall_ms", T.DoubleType(), True),
         T.StructField("events_per_sec", T.DoubleType(), True),
+        # events discovered in the source but deferred past this batch,
+        # measured at plan time from file metadata — how far behind the
+        # changelog head the pipeline is running
+        T.StructField("source_lag_events", T.LongType(), True),
         T.StructField("replayed", T.BooleanType(), True),
     ]
 )

@@ -162,6 +162,7 @@ class CDCPipeline:
                     "files_added": stats.added_files if stats else 0,
                     "wall_ms": wall_ms,
                     "events_per_sec": batch.n_events / (wall_ms / 1000.0) if wall_ms > 0 else None,
+                    "source_lag_events": batch.backlog_events,
                     "replayed": replayed,
                 }
             )

@@ -108,6 +108,10 @@ def test_full_replay_matches_oracle(spark, env):
     assert [r.batch_seq for r in m] == list(range(1, len(results) + 1))
     assert all(r.events_per_sec > 0 for r in m)
     assert sum(r.events for r in m) >= SPEC.n_events  # includes redeliveries
+    # source lag: strictly draining to 0 at catch-up (plan-time metadata)
+    lags = [r.source_lag_events for r in m]
+    assert lags[-1] == 0 and lags[0] > 0
+    assert lags == sorted(lags, reverse=True)
 
 
 def test_rerun_after_caught_up_is_noop(spark, env):
