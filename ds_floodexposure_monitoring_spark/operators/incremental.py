@@ -103,41 +103,52 @@ def refresh_rollup(
     if to_version == from_version:
         return RefreshStats(0, 0, 0, from_version, to_version, None)
 
-    changed = base.scan_changes(from_version, to_version).select(*keys).distinct()
-    n_changed = changed.count()
-    if n_changed == 0:
-        return RefreshStats(0, 0, 0, from_version, to_version, None)
-
-    # Recompute touched groups from the base's live state. No broadcast
-    # hint on purpose: AQE broadcasts the changed-key side when it is
-    # small (the common case) and shuffle-joins when a bulk backfill
-    # touches most groups — both correct, neither driver-bound.
-    live = base.scan(version=to_version)
-    affected = live.join(changed, on=keys, how="left_semi")
-    recomputed = affected.groupBy(*keys).agg(*agg_exprs())
-    data_cols = [c for c in recomputed.columns if c not in keys]
-
-    # Groups whose last live row vanished: changed but no longer present.
-    gone = changed.join(recomputed.select(*keys), on=keys, how="left_anti")
-    agg_types = {f.name: f.dataType for f in recomputed.schema.fields}
-    deletes = gone.select(
-        *keys, *[F.lit(None).cast(agg_types[c]).alias(c) for c in data_cols]
-    ).withColumn(_OP, F.lit("D"))
-
-    batch = (
-        recomputed.withColumn(_OP, F.lit("U"))
-        .unionByName(deletes, allowMissingColumns=False)
-        .withColumn(_LSN, F.lit(to_version).cast("long"))
+    # The changed-key set is read three times (count, semi-join build
+    # side, vanished-group anti join) and is small — bounded by the
+    # interval's batch sizes, not the table — so cache it: one diff join
+    # instead of three. The count doubles as the materialization step
+    # and the zero-change short-circuit.
+    changed = (
+        base.scan_changes(from_version, to_version).select(*keys).distinct().persist()
     )
-    stats = merge_into(
-        derived,
-        batch,
-        lsn_col=_LSN,
-        op_col=_OP,
-        delete_op="D",
-        batch_id=batch_id or f"rollup-{base.path}-{from_version}-{to_version}",
-        target_rows_per_file=target_rows_per_file,
-    )
+    try:
+        n_changed = changed.count()
+        if n_changed == 0:
+            return RefreshStats(0, 0, 0, from_version, to_version, None)
+
+        # Recompute touched groups from the base's live state. No
+        # broadcast hint on purpose: AQE broadcasts the changed-key side
+        # when it is small (the common case) and shuffle-joins when a
+        # bulk backfill touches most groups — both correct, neither
+        # driver-bound.
+        live = base.scan(version=to_version)
+        affected = live.join(changed, on=keys, how="left_semi")
+        recomputed = affected.groupBy(*keys).agg(*agg_exprs())
+        data_cols = [c for c in recomputed.columns if c not in keys]
+
+        # Groups whose last live row vanished: changed, no longer present.
+        gone = changed.join(recomputed.select(*keys), on=keys, how="left_anti")
+        agg_types = {f.name: f.dataType for f in recomputed.schema.fields}
+        deletes = gone.select(
+            *keys, *[F.lit(None).cast(agg_types[c]).alias(c) for c in data_cols]
+        ).withColumn(_OP, F.lit("D"))
+
+        batch = (
+            recomputed.withColumn(_OP, F.lit("U"))
+            .unionByName(deletes, allowMissingColumns=False)
+            .withColumn(_LSN, F.lit(to_version).cast("long"))
+        )
+        stats = merge_into(
+            derived,
+            batch,
+            lsn_col=_LSN,
+            op_col=_OP,
+            delete_op="D",
+            batch_id=batch_id or f"rollup-{base.path}-{from_version}-{to_version}",
+            target_rows_per_file=target_rows_per_file,
+        )
+    finally:
+        changed.unpersist()
     return RefreshStats(
         changed_groups=n_changed,
         upserted_groups=stats.updated + stats.inserted,
