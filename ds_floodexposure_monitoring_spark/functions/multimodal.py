@@ -61,3 +61,101 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     """
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_decode_batches, DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Feature-extract / resize / frame-sample over opaque payloads.
+#
+# These three run in the CODE-POINT domain (the payloads in this sandbox
+# are text bytes) so the math is exact and oracle-checkable, but the
+# operator shape — Arrow batch in, vectorized numpy kernel per row
+# sequence, long-format typed rows out — is exactly what a real
+# image/audio deployment uses with a codec plugged in. Code points are
+# obtained VECTORIZED via utf-32-le reinterpretation (one encode + one
+# frombuffer per document, no Python char loop).
+
+FEATURES_SCHEMA = "doc_id bigint, feat_idx bigint, n bigint"
+RESIZE_SCHEMA = "doc_id bigint, n_in bigint, n_out bigint, checksum bigint"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame_len bigint, checksum bigint"
+
+
+def _codepoints(s: str):
+    import numpy as np
+
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+def histogram_features(df: DataFrame, dim: int = 64,
+                       id_col: str = "doc_id", payload_col: str = "text") -> DataFrame:
+    """Fixed-dimension content histogram (feature-extract stage): counts
+    of code points folded mod ``dim``, emitted long-format (only nonzero
+    bins) — the sparse feature layout a downstream trainer joins on."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, feats, counts = [], [], []
+            for doc_id, s in zip(pdf[id_col], pdf[payload_col]):
+                cp = _codepoints(s)
+                if len(cp) == 0:
+                    continue
+                hist = np.bincount(cp % dim, minlength=dim)
+                nz = np.nonzero(hist)[0]
+                ids.extend([doc_id] * len(nz))
+                feats.extend(nz.tolist())
+                counts.extend(hist[nz].tolist())
+            yield pd.DataFrame({"doc_id": ids, "feat_idx": feats, "n": counts})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def resample_payload(df: DataFrame, out_len: int = 256,
+                     id_col: str = "doc_id", payload_col: str = "text") -> DataFrame:
+    """Nearest-neighbor down-sample (the resize stage): pick
+    ``n_out = min(n, out_len)`` positions at indices floor(j*n/n_out),
+    return the structural result + an exact integer checksum of the
+    sampled content (sum of sampled code points)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, s in zip(pdf[id_col], pdf[payload_col]):
+                cp = _codepoints(s)
+                n = len(cp)
+                if n == 0:
+                    continue
+                n_out = min(n, out_len)
+                idx = (np.arange(n_out, dtype=np.int64) * n) // n_out
+                rows.append((doc_id, n, n_out, int(cp[idx].sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_in", "n_out", "checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, stride: int = 2,
+                  id_col: str = "doc_id", payload_col: str = "text") -> DataFrame:
+    """Frame sampling (the video stage): chunk the payload into
+    ``n_frames = n % 30 + 1`` frames of ``ceil(n / n_frames)`` positions
+    (the stub decoder's frame count), keep every ``stride``-th frame,
+    and emit one typed row per kept frame with its exact length and
+    content checksum."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, s in zip(pdf[id_col], pdf[payload_col]):
+                cp = _codepoints(s)
+                n = len(cp)
+                if n == 0:
+                    continue
+                n_frames = n % 30 + 1
+                fs = -(-n // n_frames)
+                for k in range(0, n_frames, stride):
+                    frame = cp[k * fs:(k + 1) * fs]
+                    if len(frame):
+                        rows.append((doc_id, k, len(frame), int(frame.sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_len", "checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, FRAMES_SCHEMA)

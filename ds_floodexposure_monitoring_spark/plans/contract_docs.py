@@ -798,3 +798,69 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode_metadata(d)
+
+
+@_reg(
+    "multimodal_features",
+    """
+    WITH chars AS (
+      SELECT doc_id, unicode(substr(text, CAST(i AS INT) + 1, 1)) AS cp
+      FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents)
+    )
+    SELECT doc_id, CAST(cp % 64 AS BIGINT) AS feat_idx, CAST(COUNT(*) AS BIGINT) AS n
+    FROM chars GROUP BY 1, 2
+    """,
+    note="feature-extract stage over opaque payloads: fixed-dim content "
+         "histogram (code points folded mod 64), sparse long-format rows; "
+         "Arrow mapInPandas with a vectorized numpy kernel (utf-32 "
+         "reinterpretation + bincount, no per-char Python loop)",
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.multimodal import histogram_features
+
+    return histogram_features(table(spark, sf, "documents"), dim=64)
+
+
+@_reg(
+    "multimodal_resize",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+    j AS (SELECT doc_id, text, n, LEAST(n, 256) AS n_out,
+                 unnest(range(LEAST(n, 256))) AS j FROM d)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+           CAST(SUM(unicode(substr(text, CAST((j * n) // n_out AS INT) + 1, 1))) AS BIGINT)
+             AS checksum
+    FROM j GROUP BY doc_id, n, n_out
+    """,
+    note="resize stage: nearest-neighbor down-sample to 256 positions "
+         "(floor(j*n/n_out) index map — the 1-D analog of image NN "
+         "resize), exact integer content checksum; Arrow mapInPandas",
+)
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.multimodal import resample_payload
+
+    return resample_payload(table(spark, sf, "documents"), out_len=256)
+
+
+@_reg(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS n, n % 30 + 1 AS n_frames
+               FROM documents WHERE length(text) > 0),
+    c AS (SELECT doc_id, text, n, (n + n_frames - 1) // n_frames AS fs,
+                 unnest(range(n)) AS i FROM d),
+    x AS (SELECT doc_id, i // fs AS frame_idx,
+                 unicode(substr(text, CAST(i AS INT) + 1, 1)) AS cp FROM c)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS frame_len, CAST(SUM(cp) AS BIGINT) AS checksum
+    FROM x WHERE frame_idx % 2 = 0 GROUP BY 1, 2
+    """,
+    note="frame-sample stage: chunk the payload into the stub decoder's "
+         "n_frames (= n%30+1) frames, keep every 2nd, one typed row per "
+         "kept frame with exact length + content checksum; Arrow "
+         "mapInPandas",
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.multimodal import sample_frames
+
+    return sample_frames(table(spark, sf, "documents"), stride=2)
