@@ -247,6 +247,52 @@ def incremental_rollup_refresh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "dml_delete_where",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_type, value, ts FROM s WHERE NOT (value < 10)
+    """,
+    note="predicate DELETE (Iceberg DELETE FROM ... WHERE analog): "
+         "bucket-granular copy-on-write — one planning pass finds "
+         "buckets with live matches (collect bounded by n_buckets), only "
+         "those are rewritten, untouched buckets carry by metadata "
+         "reference; the GDPR-erasure path at 10^10 rows",
+)
+def dml_delete_where(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dml import delete_where
+
+    t, _versions = _staged_events_table(spark, sf, "dmldel")
+    delete_where(t, F.col("value") < 10)
+    return t.scan().select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
+    "dml_update_where",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_type,
+           CASE WHEN value < 50 THEN value + 100 ELSE value END AS value, ts
+    FROM s
+    """,
+    note="predicate UPDATE (Iceberg UPDATE ... SET analog): same "
+         "bucket-granular rewrite; assignments see the pre-update row, "
+         "LSNs kept so in-flight CDC events still order correctly",
+)
+def dml_update_where(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dml import update_where
+
+    t, _versions = _staged_events_table(spark, sf, "dmlupd")
+    update_where(t, F.col("value") < 50, {"value": F.col("value") + 100})
+    return t.scan().select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
     "schema_evolution_merge",
     """
     WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),

@@ -1,0 +1,89 @@
+"""Predicate DELETE / UPDATE: bucket-granular copy-on-write rewrite,
+untouched buckets carried by reference, CDC ordering preserved."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_floodexposure_monitoring_spark.datagen.transcripts import transcript_schema
+from ds_floodexposure_monitoring_spark.operators.dml import delete_where, update_where
+from ds_floodexposure_monitoring_spark.operators.merge import merge_into
+from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+
+DDL = "lsn long, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+@pytest.fixture()
+def table(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), transcript_schema(), n_buckets=16
+    )
+    rows = [
+        (i + 1, f"c{i % 20}", i // 20, "user" if i % 2 else "assistant",
+         f"text-{i}", None, None)
+        for i in range(200)
+    ]
+    merge_into(t, spark.createDataFrame(rows, DDL), batch_id="seed")
+    return t
+
+
+def _texts(t):
+    return sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
+
+
+def test_delete_where_removes_only_matches(spark, table):
+    before = _texts(table)
+    doomed = {x for x in before if x[0] == "c3"}
+    untouched_paths = {
+        f.path for f in table.files() if f.bucket not in
+        {r["b"] for r in table.scan().where(F.col("conv_id") == "c3")
+         .select(table.bucket_expr().alias("b")).distinct().collect()}
+    }
+    st = delete_where(table, F.col("conv_id") == "c3")
+    assert st is not None and st.rows_matched == len(doomed)
+    after = _texts(table)
+    assert set(after) == set(before) - doomed
+    # untouched buckets carried by reference, not rewritten
+    assert untouched_paths <= {f.path for f in table.files()}
+    # no-match delete commits nothing
+    v = table.version
+    assert delete_where(table, F.col("conv_id") == "zzz") is None
+    assert table.version == v
+
+
+def test_update_where_sets_only_matches_and_keeps_lsn_order(spark, table):
+    st = update_where(
+        table, "turn_idx >= 8", {"text": F.concat(F.col("text"), F.lit("!"))}
+    )
+    assert st is not None and st.rows_matched == 200 - 8 * 20
+    got = _texts(table)
+    for conv, turn, text in got:
+        assert text.endswith("!") == (turn >= 8), (conv, turn, text)
+
+    # a pre-dated (lower-LSN) change event must still LOSE to nothing —
+    # and a higher-LSN event must win over the updated value
+    b = spark.createDataFrame(
+        [(1000, "c0", 8, "user", "newer wins", None, None),
+         (0, "c1", 8, "user", "stale loses", None, None)], DDL
+    )
+    merge_into(table, b, batch_id="after-update")
+    texts = dict(((c, i), x) for c, i, x in _texts(table))
+    assert texts[("c0", 8)] == "newer wins"
+    assert texts[("c1", 8)].endswith("!")  # updated value survived the stale event
+
+
+def test_update_merge_key_rejected(spark, table):
+    with pytest.raises(ValueError, match="merge-key"):
+        update_where(table, "turn_idx > 0", {"conv_id": F.lit("x")})
+
+
+def test_delete_then_reinsert_via_cdc(spark, table):
+    delete_where(table, "conv_id = 'c5'")
+    assert all(c != "c5" for c, _, _ in _texts(table))
+    merge_into(
+        table,
+        spark.createDataFrame([(5000, "c5", 0, "user", "back", None, None)], DDL),
+        batch_id="reinsert",
+    )
+    assert ("c5", 0, "back") in _texts(table)
