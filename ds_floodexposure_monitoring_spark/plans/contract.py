@@ -105,7 +105,7 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
     return t.scan().select("user_id", "event_type", "value", "ts")
 
 
-def _staged_events_table(spark: SparkSession, sf: str, tag: str):
+def _staged_events_table(spark: SparkSession, sf: str, tag: str, stat_cols: tuple = ()):
     """Build a MOR lake table from `events` in 3 LSN-ordered batches
     (thirds of event_id), returning (table, [version after each batch]).
     Shared scaffold for the change-feed / time-travel / incremental-rollup
@@ -126,7 +126,8 @@ def _staged_events_table(spark: SparkSession, sf: str, tag: str):
     root = os.path.join(tempfile.gettempdir(), f"sparkgraft-{tag}-{h}")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(
-        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"), n_buckets=8
+        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
+        n_buckets=8, stat_cols=stat_cols,
     )
     hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
     cuts = [hi // 3, 2 * hi // 3, hi]
@@ -244,6 +245,36 @@ def incremental_rollup_refresh(spark: SparkSession, sf: str) -> DataFrame:
         refresh_rollup(t, derived, ("user_id",), aggs, from_version=prev, to_version=v)
         prev = v
     return derived.scan().select("user_id", "n_types", "total_value", "last_ts")
+
+
+@_reg(
+    "timerange_scan",
+    """
+    WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,
+                      min(ts) + INTERVAL 20 DAY AS hi FROM events),
+    s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT s.user_id, s.event_type, s.value, s.ts FROM s, b
+    WHERE s.ts BETWEEN b.lo AND b.hi
+    """,
+    note="non-key file skipping: per-file (min,max) footer stats on a "
+         "configured stat column (ts) live in the snapshot manifest; a "
+         "time-bounded read opens only overlapping files on resolved "
+         "snapshots and degrades to bucket-complete pruning on MOR "
+         "snapshots so unresolved deltas can never resurrect stale "
+         "versions (LakeTable.scan_range)",
+)
+def timerange_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """3 MOR batches with ts file stats, then a 10-day time-bounded
+    range read of the LWW state."""
+    import datetime as dt
+
+    t, _versions = _staged_events_table(spark, sf, "timerange", stat_cols=("ts",))
+    mn = table(spark, sf, "events").agg(F.min("ts")).collect()[0][0]
+    lo, hi = mn + dt.timedelta(days=10), mn + dt.timedelta(days=20)
+    return t.scan_range("ts", lo, hi).select("user_id", "event_type", "value", "ts")
 
 
 @_reg(

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) carries NO footer min/max stats, which
+        # blinds both parquet row-group skipping and the lake manifest's
+        # per-file stat_cols bounds (LakeTable.scan_range); MICROS is the
+        # modern representation with full statistics
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_memory(n_threads)))
         .config("spark.ui.enabled", "false")

@@ -35,6 +35,7 @@ object store of per-(iso3, date) blobs (src/datasources/floodscan.py:346-352).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import uuid
@@ -62,9 +63,12 @@ class DataFile:
     min_key: str | None
     max_key: str | None
     schema_version: int
+    # optional per-column (min, max) footer stats for the table's
+    # configured stat_cols — drives non-key file skipping (scan_range)
+    col_stats: dict | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "bucket": self.bucket,
             "rows": self.rows,
@@ -72,11 +76,15 @@ class DataFile:
             "max_key": self.max_key,
             "schema_version": self.schema_version,
         }
+        if self.col_stats:
+            d["col_stats"] = self.col_stats
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
         return DataFile(
-            d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"), d["schema_version"]
+            d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"),
+            d["schema_version"], d.get("col_stats"),
         )
 
 
@@ -118,6 +126,23 @@ def _atomic_create_exclusive(path: str, data: str) -> None:
             os.remove(tmp)
         except FileNotFoundError:
             pass
+
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _stat_scalar(v):
+    """Normalize a parquet footer stat to a JSON-storable, totally
+    ordered scalar: datetimes → epoch microseconds (exact integer
+    arithmetic, naive treated as UTC), bytes → utf-8 str; numbers and
+    strings pass through."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return (v - _EPOCH) // datetime.timedelta(microseconds=1)
+    if isinstance(v, bytes):
+        return v.decode("utf-8")
+    return v
 
 
 def _dedupe_task_attempts(paths: list[str]) -> list[str]:
@@ -173,7 +198,13 @@ class LakeTable:
         schema: T.StructType,
         merge_keys: tuple[str, ...] = ("conv_id", "turn_idx"),
         n_buckets: int = 64,
+        stat_cols: tuple[str, ...] = (),
     ) -> "LakeTable":
+        """``stat_cols``: non-key columns whose per-file (min, max)
+        footer stats are kept in the snapshot manifest, enabling
+        non-key file skipping via ``scan_range`` (e.g. event time for a
+        transcripts table — time-bounded reads then open only the files
+        whose range overlaps)."""
         t = cls(spark, path)
         if os.path.exists(os.path.join(t._meta_dir, "HEAD")):
             raise FileExistsError(f"table already exists at {path}")
@@ -187,6 +218,7 @@ class LakeTable:
             "merge_keys": list(merge_keys),
             "n_buckets": n_buckets,
             "bucket_seed": cls.BUCKET_SEED,
+            "stat_cols": list(stat_cols),
             "schema_version": 1,
             "schemas": {"1": json.loads(schema.json())},
             "files": [],
@@ -374,6 +406,52 @@ class LakeTable:
         flist = self.prune_for_keys(values)
         return self.scan(files=flist).where(F.col(key0).isin(list(values)))
 
+    def prune_for_range(self, col: str, lo, hi, snapshot: dict | None = None) -> list[DataFile]:
+        """Files a range read on ``col`` must open (metadata only).
+        ``col`` must be in the table's ``stat_cols``; files written
+        before the stat existed (or with no footer bounds) are
+        conservatively kept.
+
+        LWW-correctness guard: FILE-level skipping on a non-key column
+        is only safe when each key's live state is self-contained per
+        file — true on resolved snapshots (COW merges / post-compaction),
+        where every surviving key appears in exactly one file. On a
+        merge-on-read snapshot with unresolved deltas, a key's winner
+        could sit outside the range while a stale version inside the
+        range survives a naive prune — so there pruning degrades to
+        BUCKET granularity: keep every file of any bucket with an
+        overlapping file (resolution within a bucket is then complete —
+        keys never span buckets), and skip only buckets where every
+        version of every key is out of range (their winners cannot be in
+        range either). The read-amplification trade MOR tables make
+        everywhere, made explicit."""
+        snap = snapshot or self.current()
+        if col not in snap.get("stat_cols", []):
+            raise ValueError(
+                f"column {col!r} has no file stats (table stat_cols="
+                f"{snap.get('stat_cols', [])}); pass stat_cols=({col!r},) at create"
+            )
+        lo_n, hi_n = _stat_scalar(lo), _stat_scalar(hi)
+        files = self.files(snap)
+
+        def overlaps(f: DataFile) -> bool:
+            cs = (f.col_stats or {}).get(col)
+            return cs is None or not (cs[1] < lo_n or cs[0] > hi_n)
+
+        if snap.get("requires_resolve", False):
+            keep_buckets = {f.bucket for f in files if overlaps(f)}
+            return [f for f in files if f.bucket in keep_buckets]
+        return [f for f in files if overlaps(f)]
+
+    def scan_range(self, col: str, lo, hi) -> DataFrame:
+        """Range read on a non-key stats column (e.g. event time): skip
+        every data file (resolved snapshots) or bucket (MOR snapshots —
+        see prune_for_range) whose footer stats cannot overlap [lo, hi],
+        then apply the residual filter on what remains."""
+        snap = self.current()
+        flist = self.prune_for_range(col, lo, hi, snap)
+        return self.scan(files=flist).where(F.col(col).between(F.lit(lo), F.lit(hi)))
+
     # ---------------------------------------------------------- change feed
     def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level change feed between two retained snapshots (the
@@ -499,6 +577,7 @@ class LakeTable:
             "merge_keys": cur["merge_keys"],
             "n_buckets": cur["n_buckets"],
             "bucket_seed": cur.get("bucket_seed", 0),
+            "stat_cols": cur.get("stat_cols", []),
             "schema_version": schema_version,
             "schemas": schemas,
             "files": files,
@@ -674,28 +753,43 @@ class LakeTable:
 
         import pyarrow.parquet as pq
 
+        stat_cols = self.current().get("stat_cols", [])
+
+        def _col_minmax(md, name: str):
+            ix = next(
+                (i for i in range(md.num_columns) if md.schema.column(i).name == name),
+                None,
+            )
+            if ix is None:
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ix).statistics
+                if st is None or not st.has_min_max:
+                    return None  # no bounds -> file can never be skipped
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            return mn, mx
+
         def _stat(fpath: str) -> DataFile | None:
             md = pq.ParquetFile(fpath).metadata
             if md.num_rows == 0:
                 os.remove(fpath)
                 return None
-            key_ix = next(
-                i for i in range(md.num_columns)
-                if md.schema.column(i).name == key0
-            )
-            mn = mx = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(key_ix).statistics
-                if st is None or not st.has_min_max:
-                    mn = mx = None
-                    break  # stats unavailable -> no pruning bounds for this file
-                mn = st.min if mn is None else min(mn, st.min)
-                mx = st.max if mx is None else max(mx, st.max)
+            bounds = _col_minmax(md, key0)
+            mn, mx = bounds if bounds else (None, None)
             if isinstance(mn, bytes):
                 mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            col_stats = None
+            if stat_cols:
+                col_stats = {}
+                for c in stat_cols:
+                    b = _col_minmax(md, c)
+                    if b is not None:
+                        col_stats[c] = [_stat_scalar(b[0]), _stat_scalar(b[1])]
             rel = os.path.relpath(fpath, self.path)
             bucket = int(rel.split("b=")[1].split("/")[0])
-            return DataFile(rel, bucket, md.num_rows, mn, mx, schema_version)
+            return DataFile(rel, bucket, md.num_rows, mn, mx, schema_version, col_stats or None)
 
         paths = _dedupe_task_attempts(
             _glob.glob(os.path.join(out_dir, "b=*", "*.parquet"))
