@@ -406,6 +406,76 @@ class LakeTable:
         flist = self.prune_for_keys(values)
         return self.scan(files=flist).where(F.col(key0).isin(list(values)))
 
+    def rollback(self, to_version: int) -> dict:
+        """Restore the table to a retained earlier snapshot's state by
+        COMMITTING a new snapshot that references that version's file
+        list and schema — history is preserved (the bad commits stay
+        inspectable via time travel until expired), nothing is rewritten
+        or deleted, and concurrent-writer CAS still applies. The Iceberg
+        ``rollback_to_snapshot`` analog; the undo button for a bad batch
+        or DML run."""
+        cur = self.current()
+        old = self.snapshot(to_version)
+        if to_version >= cur["version"]:
+            raise ValueError(f"rollback target v{to_version} is not before HEAD v{cur['version']}")
+        snap = {
+            "version": cur["version"] + 1,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent": cur["snapshot_id"],
+            "batch_id": old.get("batch_id"),
+            "merge_keys": cur["merge_keys"],
+            "n_buckets": cur["n_buckets"],
+            "bucket_seed": cur.get("bucket_seed", 0),
+            "stat_cols": old.get("stat_cols", []),
+            "schema_version": old["schema_version"],
+            "schemas": old["schemas"],
+            "files": old["files"],
+            "requires_resolve": old.get("requires_resolve", False),
+            "summary": {
+                "operation": "rollback",
+                "rolled_back_to": to_version,
+                "total_rows": sum(d["rows"] for d in old["files"]),
+            },
+        }
+        self._write_snapshot(snap)
+        return snap
+
+    def history(self) -> DataFrame:
+        """Metadata table (Iceberg ``history``/``snapshots`` analog): one
+        row per retained snapshot — version, operation, row/file counts,
+        batch id, schema version — driver-side metadata only."""
+        rows = [
+            (
+                s["version"],
+                s.get("summary", {}).get("operation"),
+                s.get("batch_id"),
+                s["schema_version"],
+                int(s.get("summary", {}).get("total_rows", sum(d["rows"] for d in s["files"]))),
+                len(s["files"]),
+                s.get("requires_resolve", False),
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, batch_id string, "
+            "schema_version long, total_rows long, n_files long, requires_resolve boolean",
+        )
+
+    def file_manifest(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg ``files`` analog): one row per data
+        file of a snapshot with its bucket, row count and key bounds."""
+        snap = self.current() if version is None else self.snapshot(version)
+        rows = [
+            (f.path, f.bucket, f.rows, f.min_key, f.max_key, f.schema_version)
+            for f in self.files(snap)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, rows long, min_key string, "
+            "max_key string, schema_version long",
+        )
+
     def prune_for_range(self, col: str, lo, hi, snapshot: dict | None = None) -> list[DataFile]:
         """Files a range read on ``col`` must open (metadata only).
         ``col`` must be in the table's ``stat_cols``; files written
