@@ -201,6 +201,53 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-rollback")
+    table = LakeTable.load(spark, args.table_dir)
+    snap = table.rollback(args.to_version)
+    _emit({
+        "op": "rollback", "table_dir": args.table_dir,
+        "rolled_back_to": args.to_version, "new_version": snap["version"],
+        "rows": snap["summary"]["total_rows"],
+    })
+    return 0
+
+
+def cmd_history(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-history")
+    table = LakeTable.load(spark, args.table_dir)
+    rows = table.history().orderBy("version").collect()
+    _emit({
+        "op": "history", "table_dir": args.table_dir,
+        "snapshots": [r.asDict() for r in rows],
+    })
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from .operators.dml import delete_where
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-delete")
+    table = LakeTable.load(spark, args.table_dir)
+    st = delete_where(table, args.where)
+    out = {"op": "delete", "table_dir": args.table_dir, "where": args.where}
+    if st is None:
+        out["rows_matched"] = 0
+    else:
+        out.update({
+            "rows_matched": st.rows_matched,
+            "buckets_rewritten": st.buckets_rewritten,
+            "snapshot_version": st.snapshot_version,
+        })
+    _emit(out)
+    return 0
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--master", default=None,
                    help="Spark master; omit under spark-submit (cluster provides it)")
@@ -268,6 +315,23 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--tail", type=int, default=0,
                    help="also print the last N per-batch lineage rows")
     m.set_defaults(fn=cmd_metrics)
+
+    r = sub.add_parser("rollback", help="restore an earlier snapshot as a new commit")
+    _add_common(r)
+    r.add_argument("--table-dir", required=True)
+    r.add_argument("--to-version", type=int, required=True)
+    r.set_defaults(fn=cmd_rollback)
+
+    h = sub.add_parser("history", help="list retained snapshots")
+    _add_common(h)
+    h.add_argument("--table-dir", required=True)
+    h.set_defaults(fn=cmd_history)
+
+    d = sub.add_parser("delete", help="predicate DELETE (bucket-granular COW rewrite)")
+    _add_common(d)
+    d.add_argument("--table-dir", required=True)
+    d.add_argument("--where", required=True, help="SQL predicate, e.g. \"conv_id = 'c1'\"")
+    d.set_defaults(fn=cmd_delete)
     return ap
 
 

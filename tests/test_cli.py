@@ -56,6 +56,20 @@ def test_cli_lifecycle(spark, tmpdir_path, capsys):
     s2 = _run(capsys, ["show", "--table-dir", table])
     assert s2["live_rows"] == live
 
+    # predicate delete -> live rows shrink by the match count
+    d = _run(capsys, ["delete", "--table-dir", table, "--where", "turn_idx = 0"])
+    assert d["rows_matched"] > 0
+    s3 = _run(capsys, ["show", "--table-dir", table])
+    assert s3["live_rows"] == live - d["rows_matched"]
+
+    # rollback undoes the delete; history lists every retained commit
+    r = _run(capsys, ["rollback", "--table-dir", table,
+                      "--to-version", str(s2["version"])])
+    assert r["new_version"] > d["snapshot_version"]
+    assert _run(capsys, ["show", "--table-dir", table])["live_rows"] == live
+    h = _run(capsys, ["history", "--table-dir", table])
+    assert h["snapshots"][-1]["operation"] == "rollback"
+
 
 def test_cli_rejects_bad_mode(spark):
     with pytest.raises(SystemExit):
