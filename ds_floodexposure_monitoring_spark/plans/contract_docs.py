@@ -167,19 +167,63 @@ N_MINHASH = 32
 LSH_BAND_ROWS = 2  # 16 bands of 2 -> recall ~1 at j>=0.55
 
 
+def _h60(col, seed) -> F.Column:
+    """60-bit integer hash with an EXACT ANSI-SQL mirror: the first 15
+    hex digits of md5(value || '|' || seed) parsed as an integer —
+    identical in Spark (conv) and DuckDB (hex cast), so the whole
+    MinHash/SimHash family is oracle-checkable, not rows-only. (xxhash64
+    is ~3x faster but exists only in Spark; hash choice does not affect
+    LSH quality.)"""
+    return F.conv(
+        F.substring(F.md5(F.encode(F.concat(col, F.lit(f"|{seed}")), "UTF-8")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _h60_sql(expr: str, seed) -> str:
+    return f"CAST(('0x' || substr(md5({expr} || '|{seed}'), 1, 15)) AS BIGINT)"
+
+
+_MINHASH_SQL = f"""
+    WITH {_JACCARD_CTES},
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"min({_h60_sql('w', i)}) AS h{i}" for i in range(N_MINHASH))}
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_id, h{2 * bi} AS k1, h{2 * bi + 1} AS k2 FROM mh" for bi in range(N_MINHASH // LSH_BAND_ROWS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) AS jaccard
+    FROM cand c
+    JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c) >= {JACCARD_T}
+"""
+
+
 @_reg(
     "minhash_lsh_pairs",
-    None,
-    note="MinHash+LSH near-dup over word 3-shingles: shingle→minhash→band→bucket-join→exact verify; rows-only (xxhash64 has no ANSI mirror) — at these parameters output == ngram_jaccard_pairs (construction-verified)",
+    _MINHASH_SQL,
+    note="MinHash+LSH near-dup over word 3-shingles: shingle→minhash→band→bucket-join→exact verify; md5-based 60-bit hash family gives an exact DuckDB oracle (same minhashes, same bands, same pairs)",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = _shingle_sets(spark, sf)
     toks = docs.select("doc_id", F.explode("ws").alias("w"))
     # 32 independent min-hashes as one agg pass (map-side combine).
     mh = toks.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("w", F.lit(i))).alias(f"h{i}") for i in range(N_MINHASH)]
+        *[F.min(_h60(F.col("w"), i)).alias(f"h{i}") for i in range(N_MINHASH)]
     )
-    # band signature = hash of LSH_BAND_ROWS consecutive minhashes
+    # band key = the band's minhash TUPLE (exact equality, no re-hash)
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -187,22 +231,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"h{bi * LSH_BAND_ROWS + r}") for r in range(LSH_BAND_ROWS)]
-                        ).alias("band_key"),
+                        F.col(f"h{bi * LSH_BAND_ROWS}").alias("k1"),
+                        F.col(f"h{bi * LSH_BAND_ROWS + 1}").alias("k2"),
                     )
                     for bi in range(N_MINHASH // LSH_BAND_ROWS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.k1", "band.k2")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -305,28 +349,47 @@ def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 60  # the md5-based hash carries 60 bits (15 hex digits)
+
+_SIMHASH_SIG_SQL = f"""
+    WITH uw AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (SELECT doc_id, {_h60_sql('w', 's')} AS h FROM uw),
+    votes AS (
+      SELECT doc_id, k,
+             SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS k) ks
+      GROUP BY doc_id, k
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+
 @_reg(
     "simhash_signatures",
-    None,
-    note="64-bit SimHash signatures from token sets (xxhash64 bit votes); rows-only",
+    _SIMHASH_SIG_SQL,
+    note="60-bit SimHash signatures from token sets (md5-based bit votes — exact DuckDB oracle down to the signature integers)",
 )
 def simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents").select(
         "doc_id", F.array_distinct(TXT.words(F.col("text"))).alias("ws")
     )
     toks = docs.select("doc_id", F.explode("ws").alias("w")).select(
-        "doc_id", F.xxhash64("w").alias("h")
+        "doc_id", _h60(F.col("w"), "s").alias("h")
     )
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{k}")
-            for k in range(64)
+            for k in range(SIMHASH_BITS)
         ]
     )
     sig = None
-    for k in range(64):
+    for k in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{k}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, k)
         sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
@@ -400,7 +463,7 @@ def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SIMHASH_BAND_BITS = 16  # 4 bands of 16 bits
+SIMHASH_BAND_BITS = 15  # 4 bands of 15 bits (60-bit signatures)
 SIMHASH_HAM_T = 3       # = n_bands - 1: pigeonhole guarantees any pair
                         # within the verify threshold shares >=1 band
                         # (full recall), so banding loses nothing
@@ -412,17 +475,27 @@ def _simhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
 
 @_reg(
     "simhash_neardup_pairs",
-    None,
-    note="SimHash near-dup join: 16-bit band bucketing (pigeonhole: any pair within Hamming 3/band-count survives) then exact bit_count(xor) verify; rows-only (xxhash64 basis)",
+    f"""
+    WITH sig AS ({_SIMHASH_SIG_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_T}
+    """,
+    note="SimHash near-dup join: 15-bit band bucketing (pigeonhole: any "
+         "pair within Hamming <= n_bands-1 shares a band, so the banded "
+         "join has FULL recall and equals the oracle's all-pairs "
+         "Hamming filter) then exact bit_count(xor) verify on "
+         "candidates only",
 )
 def simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Banded Hamming-distance self-join over 64-bit SimHash signatures.
+    """Banded Hamming-distance self-join over 60-bit SimHash signatures.
 
     Scale path: candidates meet only inside a (band_id, 16-bit chunk)
     bucket — a hash-partitioned equi-join, never an all-pairs scan; the
     exact ``bit_count(a XOR b)`` verify runs on candidates only."""
     sig = _simhash_sigs(spark, sf)
-    n_bands = 64 // SIMHASH_BAND_BITS
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = sig.select(
         "doc_id",
         "simhash",
