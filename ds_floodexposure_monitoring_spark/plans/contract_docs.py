@@ -164,7 +164,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 N_MINHASH = 32
-LSH_BAND_ROWS = 2  # 16 bands of 2 -> recall ~1 at j>=0.55
+LSH_BAND_ROWS = 2  # 16 bands of 2 -> candidate-miss prob at j>=0.55 is
+                   # (1-j^2)^16 ~ 0.3%. The hashes must be INDEPENDENT
+                   # permutations: a Kirsch-Mitzenmacher h1+i*h2 family
+                   # was tried and rejected — its permutations are
+                   # correlated, so bands stop amplifying and recall
+                   # plateaus (measured: the same pair missed at 16 and
+                   # 32 "bands"). Instead each md5 digest contributes
+                   # BOTH 60-bit halves: 32 sound hashes from 16 digests.
 
 
 def _h60(col, seed) -> F.Column:
@@ -174,23 +181,39 @@ def _h60(col, seed) -> F.Column:
     MinHash/SimHash family is oracle-checkable, not rows-only. (xxhash64
     is ~3x faster but exists only in Spark; hash choice does not affect
     LSH quality.)"""
-    return F.conv(
-        F.substring(F.md5(F.encode(F.concat(col, F.lit(f"|{seed}")), "UTF-8")), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    return F.conv(_hhex(col, seed), 16, 10).cast("long")
+
+
+def _hhex(col, seed) -> F.Column:
+    """The same hash kept as its 15-char lowercase-hex STRING: fixed
+    length + lexicographic hex order == numeric order, so MIN() and
+    equality over these strings behave exactly like the integers while
+    skipping the (measured-hot) hex→decimal conv on the MinHash path's
+    ~N_MINHASH × shingles calls."""
+    return F.substring(F.md5(F.encode(F.concat(col, F.lit(f"|{seed}")), "UTF-8")), 1, 15)
 
 
 def _h60_sql(expr: str, seed) -> str:
-    return f"CAST(('0x' || substr(md5({expr} || '|{seed}'), 1, 15)) AS BIGINT)"
+    return f"CAST(('0x' || {_hhex_sql(expr, seed)}) AS BIGINT)"
 
+
+def _hhex_sql(expr: str, seed) -> str:
+    return f"substr(md5({expr} || '|{seed}'), 1, 15)"
+
+
+N_DIGESTS = N_MINHASH // 2
 
 _MINHASH_SQL = f"""
     WITH {_JACCARD_CTES},
+    hb AS (
+      SELECT doc_id,
+             {", ".join(f"md5(w || '|{d}') AS m{d}" for d in range(N_DIGESTS))}
+      FROM toks
+    ),
     mh AS (
       SELECT doc_id,
-             {", ".join(f"min({_h60_sql('w', i)}) AS h{i}" for i in range(N_MINHASH))}
-      FROM toks GROUP BY doc_id
+             {", ".join(f"min(substr(m{i // 2}, {1 if i % 2 == 0 else 17}, 15)) AS h{i}" for i in range(N_MINHASH))}
+      FROM hb GROUP BY doc_id
     ),
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_id, h{2 * bi} AS k1, h{2 * bi + 1} AS k2 FROM mh" for bi in range(N_MINHASH // LSH_BAND_ROWS))}
@@ -220,8 +243,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = _shingle_sets(spark, sf)
     toks = docs.select("doc_id", F.explode("ws").alias("w"))
     # 32 independent min-hashes as one agg pass (map-side combine).
+    # Each md5 digest yields TWO independent 60-bit hashes (hex halves);
+    # the digests are INLINED into the aggregate expressions (a separate
+    # projection materializing 16 hex strings per token row measured 2x
+    # slower — wide partial-agg input rows) and codegen's common-
+    # subexpression elimination shares each digest across its two
+    # halves. Hashes stay fixed-length hex strings — min/equality
+    # identical to the integers, no per-value conv.
+    def _half(i: int) -> F.Column:
+        digest = F.md5(F.encode(F.concat(F.col("w"), F.lit(f"|{i // 2}")), "UTF-8"))
+        return F.substring(digest, 1 if i % 2 == 0 else 17, 15)
+
     mh = toks.groupBy("doc_id").agg(
-        *[F.min(_h60(F.col("w"), i)).alias(f"h{i}") for i in range(N_MINHASH)]
+        *[F.min(_half(i)).alias(f"h{i}") for i in range(N_MINHASH)]
     )
     # band key = the band's minhash TUPLE (exact equality, no re-hash)
     bands = mh.select(
