@@ -103,19 +103,25 @@ def refresh_rollup(
     if to_version == from_version:
         return RefreshStats(0, 0, 0, from_version, to_version, None)
 
-    # The changed-key set is read three times (count, semi-join build
-    # side, vanished-group anti join) and is small — bounded by the
-    # interval's batch sizes, not the table — so cache it: one diff join
-    # instead of three. The count doubles as the materialization step
-    # and the zero-change short-circuit.
+    # Zero-change short-circuit by METADATA alone: identical data-file
+    # sets between the two snapshots (e.g. compaction-only or
+    # replay-detected intervals) cannot differ row-wise — no Spark job
+    # needed to find out.
+    old_files = {f.path for f in base.files(base.snapshot(from_version))}
+    new_files = {f.path for f in base.files(base.snapshot(to_version))}
+    if old_files == new_files:
+        return RefreshStats(0, 0, 0, from_version, to_version, None)
+
+    # The changed-key set is read twice (semi-join build side,
+    # vanished-group anti join) and is small — bounded by the interval's
+    # batch sizes, not the table — so cache it: the diff join computes
+    # once, during the merge's census materialization. No separate
+    # count action: changed_groups falls out of the merge stats
+    # (every changed group is either recomputed or deleted).
     changed = (
         base.scan_changes(from_version, to_version).select(*keys).distinct().persist()
     )
     try:
-        n_changed = changed.count()
-        if n_changed == 0:
-            return RefreshStats(0, 0, 0, from_version, to_version, None)
-
         # Recompute touched groups from the base's live state. No
         # broadcast hint on purpose: AQE broadcasts the changed-key side
         # when it is small (the common case) and shuffle-joins when a
@@ -150,7 +156,7 @@ def refresh_rollup(
     finally:
         changed.unpersist()
     return RefreshStats(
-        changed_groups=n_changed,
+        changed_groups=stats.updated + stats.inserted + stats.deleted,
         upserted_groups=stats.updated + stats.inserted,
         deleted_groups=stats.deleted,
         from_version=from_version,
