@@ -124,6 +124,52 @@ def delete_where(
     return _rewrite(table, buckets, matched, transform, "delete-where", target_rows_per_file)
 
 
+def delete_matching(
+    table: LakeTable,
+    keys_df,
+    key_col: str | None = None,
+    target_rows_per_file: int = 2_000_000,
+) -> DmlStats | None:
+    """DELETE by key set (the ``DELETE WHERE key IN (SELECT …)`` form —
+    the realistic GDPR shape: erase a LIST of conversation/user ids).
+
+    ``keys_df`` is a one-column DataFrame of first-merge-key values.
+    Touched buckets come from hashing the key set itself (distinct over
+    ≤ n_buckets values — never a table scan), the rewrite is a LEFT ANTI
+    join of just those buckets' resolved rows against the key set, and
+    every other bucket carries over by metadata reference. The key set
+    may be arbitrarily large — it stays distributed throughout (AQE
+    broadcasts it when small). Unlike delete_where, matching TOMBSTONES
+    are erased too: GDPR erasure removes every trace of the key,
+    accepting that a still-in-flight older event for it would re-insert
+    (standard CDC semantics, same as the live-row case)."""
+    key0 = key_col or table.merge_keys[0]
+    keys = keys_df.select(F.col(key0).alias(key0)).distinct()
+    bucket_rows = (
+        keys.select(table.bucket_expr(key_col=key0).alias("b")).distinct().collect()
+    )
+    buckets = {r["b"] for r in bucket_rows}
+    if not buckets:
+        return None
+    victims_exist = any(f.bucket in buckets for f in table.files())
+    if not victims_exist:
+        return None
+    # exact live-match count, restricted to the touched buckets' files
+    cur = table.current()
+    vfiles = [f for f in table.files(cur) if f.bucket in buckets]
+    matched = (
+        table.scan(files=vfiles)
+        .join(keys, on=key0, how="left_semi")
+        .count()
+    )
+
+    def transform(df):
+        doomed = df.join(keys, on=key0, how="left_anti")
+        return doomed
+
+    return _rewrite(table, buckets, matched, transform, "delete-matching", target_rows_per_file)
+
+
 def update_where(
     table: LakeTable,
     condition: Column | str,

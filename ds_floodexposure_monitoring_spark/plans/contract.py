@@ -301,6 +301,35 @@ def dml_delete_where(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "dml_delete_matching",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_type, value, ts FROM s WHERE user_id % 3 <> 0
+    """,
+    note="DELETE by key set (DELETE WHERE key IN (SELECT ...)): the "
+         "realistic GDPR shape — erase a LIST of ids. Touched buckets "
+         "come from hashing the key set itself (never a table scan); "
+         "the rewrite anti-joins only those buckets against the key "
+         "set, which stays distributed (AQE broadcasts when small)",
+)
+def dml_delete_matching(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dml import delete_matching
+
+    t, _versions = _staged_events_table(spark, sf, "dmldelm")
+    doomed = (
+        table(spark, sf, "events")
+        .select("user_id")
+        .where(F.col("user_id") % 3 == 0)
+        .distinct()
+    )
+    delete_matching(t, doomed)
+    return t.scan().select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
     "dml_update_where",
     """
     WITH s AS (

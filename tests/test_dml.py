@@ -78,6 +78,21 @@ def test_update_merge_key_rejected(spark, table):
         update_where(table, "turn_idx > 0", {"conv_id": F.lit("x")})
 
 
+def test_delete_matching_erases_key_set(spark, table):
+    keys = spark.createDataFrame([("c2",), ("c7",), ("zz",)], "conv_id string")
+    before = _texts(table)
+    doomed = {x for x in before if x[0] in ("c2", "c7")}
+    from ds_floodexposure_monitoring_spark.operators.dml import delete_matching
+
+    st = delete_matching(table, keys)
+    assert st is not None and st.rows_matched == len(doomed)
+    assert set(_texts(table)) == set(before) - doomed
+    # second run: keys already gone -> zero matches, still commits the
+    # rewrite of the (hash-determined) buckets or no-ops on empty bucket set
+    st2 = delete_matching(table, spark.createDataFrame([("nope",)], "conv_id string"))
+    assert st2 is None or st2.rows_matched == 0
+
+
 def test_delete_then_reinsert_via_cdc(spark, table):
     delete_where(table, "conv_id = 'c5'")
     assert all(c != "c5" for c, _, _ in _texts(table))
