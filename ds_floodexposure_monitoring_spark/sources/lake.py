@@ -440,6 +440,67 @@ class LakeTable:
         self._write_snapshot(snap)
         return snap
 
+    def rebucket(self, new_n_buckets: int, target_rows_per_file: int = 2_000_000) -> dict:
+        """Change the table's bucket count — the partition-evolution
+        operation a growing table needs (bucket count scales with the
+        fleet; a table created at 64 buckets throttles write parallelism
+        on a 1000-executor cluster).
+
+        One full resolved rewrite: every live row (and still-guarding
+        tombstone) is re-hashed into the new bucket space and written as
+        key-sorted files, then a single commit swaps the complete file
+        list AND the n_buckets metadata — readers and writers planned
+        against the old snapshot keep working (their bucket math matches
+        the files they reference; the CAS rejects their commits, forcing
+        a reload that picks up the new layout). Runs as ONE Spark job +
+        commit; at 10^10 rows schedule it like any major compaction."""
+        from ..operators.skew import plan_bucket_splits, with_salted_split
+
+        cur = self.current()
+        if new_n_buckets == cur["n_buckets"]:
+            raise ValueError(f"table already has {new_n_buckets} buckets")
+        old_files = [f for f in self.files(cur)]
+        df = self.scan(include_internal=True)
+        seed = cur.get("bucket_seed", 0)
+        h = (
+            F.xxhash64(F.col(self.merge_keys[0]), F.lit(seed))
+            if seed
+            else F.xxhash64(F.col(self.merge_keys[0]))
+        )  # must mirror bucket_expr exactly (seedless legacy tables)
+        new_bucket = F.pmod(h, F.lit(new_n_buckets)).cast("int")
+        out = df.withColumn("b", new_bucket)
+        total = sum(f.rows for f in old_files)
+        per_bucket = max(1, total // max(new_n_buckets, 1))
+        splits = plan_bucket_splits(
+            [(b, per_bucket) for b in range(new_n_buckets)], target_rows_per_file
+        )
+        to_write = with_salted_split(out, "b", splits, salt_cols=self.merge_keys)
+        new_files = self.write_data_files(
+            to_write, self.schema(cur), cur["schema_version"], sort_by=self.merge_keys
+        )
+        snap = {
+            "version": cur["version"] + 1,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent": cur["snapshot_id"],
+            "batch_id": None,
+            "merge_keys": cur["merge_keys"],
+            "n_buckets": new_n_buckets,
+            "bucket_seed": cur.get("bucket_seed", 0),
+            "stat_cols": cur.get("stat_cols", []),
+            "schema_version": cur["schema_version"],
+            "schemas": cur["schemas"],
+            "files": [f.to_json() for f in new_files],
+            "requires_resolve": False,  # rewrite resolves everything
+            "summary": {
+                "operation": "rebucket",
+                "from_buckets": cur["n_buckets"],
+                "to_buckets": new_n_buckets,
+                "total_rows": sum(f.rows for f in new_files),
+            },
+        }
+        self._write_snapshot(snap)
+        return snap
+
     def history(self) -> DataFrame:
         """Metadata table (Iceberg ``history``/``snapshots`` analog): one
         row per retained snapshot — version, operation, row/file counts,
