@@ -215,6 +215,22 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-rebucket")
+    table = LakeTable.load(spark, args.table_dir)
+    snap = table.rebucket(args.n_buckets)
+    _emit({
+        "op": "rebucket", "table_dir": args.table_dir,
+        "from_buckets": snap["summary"]["from_buckets"],
+        "to_buckets": snap["summary"]["to_buckets"],
+        "rows": snap["summary"]["total_rows"],
+        "new_version": snap["version"],
+    })
+    return 0
+
+
 def cmd_history(args) -> int:
     from .sources.lake import LakeTable
 
@@ -321,6 +337,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--table-dir", required=True)
     r.add_argument("--to-version", type=int, required=True)
     r.set_defaults(fn=cmd_rollback)
+
+    rb = sub.add_parser("rebucket", help="change the table's bucket count (full rewrite)")
+    _add_common(rb)
+    rb.add_argument("--table-dir", required=True)
+    rb.add_argument("--n-buckets", type=int, required=True)
+    rb.set_defaults(fn=cmd_rebucket)
 
     h = sub.add_parser("history", help="list retained snapshots")
     _add_common(h)
