@@ -319,6 +319,11 @@ rather than cancelling them; it is reported, not used. A probe-based
 trial screen was tried and dropped as anti-predictive (a 4 s probe does
 not predict the following 100 s trial; measured correlation ~0).
 
+Cross-invocation evidence (best rates over ALL runs, measurement
+history, and the round-2 host-ceiling analysis) is preserved in
+`BENCH/HISTORY.md` — this file is regenerated per invocation and only
+reflects the trials above.
+
 Per-batch walls at 4N (ms): {rw['batch_wall_ms']}; timed-run GC:
 {rw.get('gc_sec', 0.0):.2f}s (GC is not a factor — heap is per-core sized).
 
