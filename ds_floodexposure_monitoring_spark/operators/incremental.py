@@ -92,7 +92,9 @@ def refresh_rollup(
     Columns (Columns are plan nodes and must not be reused across
     plans); every aggregate must be aliased — the aliases are the
     derived table's data columns. ``derived`` must be merge-keyed on
-    exactly ``group_keys``.
+    exactly ``group_keys``. Both snapshots must still be RETAINED on the
+    base table: keep its expire_snapshots horizon at least as long as
+    the refresh cadence (same rule as checkpoint replay detection).
     """
     keys = list(group_keys)
     if derived.merge_keys != keys:
