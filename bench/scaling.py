@@ -273,11 +273,12 @@ by far fewer physical host cores — /proc/stat shows CPU-steal bursts of
 2-12 cores' worth of CPU, with identical runs swinging 23s <-> 414s.
 Above ~8 threads wall-clock measures hypervisor contention, not the
 engine. Both chosen widths fit the real-core budget; {trials} alternating
-trials per width, each screened by a concurrent host-health probe (see
-below), all trial walls reported. Each run is `taskset`-pinned to
-exactly its N cores so auxiliary JVM threads (GC, shuffle IO, parquet
-compression, driver) cannot overflow the width — without pinning the
-narrow run borrows idle vCPUs and overstates its throughput.
+trials per width, each accompanied by a concurrent host-health probe
+(reported as a DIAGNOSTIC below — not used for selection), all trial
+walls reported. Each run is `taskset`-pinned to exactly its N cores so
+auxiliary JVM threads (GC, shuffle IO, parquet compression, driver)
+cannot overflow the width — without pinning the narrow run borrows idle
+vCPUs and overstates its throughput.
 
 | parallelism | wall (s) | events | events/sec | batches | final rows |
 |---|---|---|---|---|---|

@@ -79,9 +79,14 @@ RESIZE_SCHEMA = "doc_id bigint, n_in bigint, n_out bigint, checksum bigint"
 FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame_len bigint, checksum bigint"
 
 
-def _codepoints(s: str):
+def _codepoints(s):
+    """Code points of ``s`` as an int64 array; NULL payloads (None / NaN
+    from Arrow) yield an empty array — the kernels then skip the row,
+    matching the oracles (SQL length(NULL) generates no positions)."""
     import numpy as np
 
+    if not isinstance(s, str):
+        return np.empty(0, dtype=np.int64)
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
 
 

@@ -143,8 +143,11 @@ def delete_matching(
     are erased too: GDPR erasure removes every trace of the key,
     accepting that a still-in-flight older event for it would re-insert
     (standard CDC semantics, same as the live-row case)."""
-    key0 = key_col or table.merge_keys[0]
-    keys = keys_df.select(F.col(key0).alias(key0)).distinct()
+    # key_col names the column IN keys_df; joins always run under the
+    # table's first merge-key name
+    key0 = table.merge_keys[0]
+    src_col = key_col or key0
+    keys = keys_df.select(F.col(src_col).alias(key0)).distinct()
     bucket_rows = (
         keys.select(table.bucket_expr(key_col=key0).alias("b")).distinct().collect()
     )
@@ -181,7 +184,13 @@ def update_where(
     Assignment expressions see the pre-update row. Row LSNs are kept, so
     CDC ordering semantics are unchanged (an in-flight change event with
     a higher LSN still wins over the updated value — UPDATE is a
-    point-in-time correction, not a new change event)."""
+    point-in-time correction, not a new change event). The change feed
+    still reports these rows (scan_changes compares payloads null-safely
+    when LSNs tie), so incremental rollups pick corrections up. Known
+    hazard, shared with every system mixing out-of-band DML into a
+    replayed log: an exact REDELIVERY of the pre-update event ties on
+    LSN with a different payload and the resolve may pick either — run
+    corrections after the log's redelivery horizon."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     bad = set(assignments) & set(table.merge_keys)
     if bad:

@@ -114,22 +114,48 @@ def refresh_rollup(
     if old_files == new_files:
         return RefreshStats(0, 0, 0, from_version, to_version, None)
 
-    # The changed-key set is read twice (semi-join build side,
-    # vanished-group anti join) and is small — bounded by the interval's
-    # batch sizes, not the table — so cache it: the diff join computes
-    # once, during the merge's census materialization. No separate
-    # count action: changed_groups falls out of the merge stats
-    # (every changed group is either recomputed or deleted).
-    changed = (
-        base.scan_changes(from_version, to_version).select(*keys).distinct().persist()
-    )
+    # The changed-GROUP set. When the group columns are a subset of the
+    # base's merge keys they are immutable per row and the feed's images
+    # name every touched group directly. Otherwise an update can MOVE a
+    # row between groups and the feed's post-image alone would miss the
+    # moved-FROM group — union in the from-version group values of the
+    # changed merge keys. Cached either way: read twice (semi-join build
+    # side, vanished-group anti join), bounded by the interval's batch
+    # sizes, materialized during the merge's census pass. No separate
+    # count action: changed_groups falls out of the merge stats.
+    feed = base.scan_changes(from_version, to_version)
+    if set(keys) <= set(base.merge_keys):
+        changed = feed.select(*keys).distinct().persist()
+    else:
+        changed_mk = feed.select(*base.merge_keys).distinct()
+        old_groups = (
+            base.scan(version=from_version)
+            .join(changed_mk, on=base.merge_keys, how="left_semi")
+            .select(*keys)
+        )
+        changed = feed.select(*keys).union(old_groups).distinct().persist()
     try:
-        # Recompute touched groups from the base's live state. No
+        # Recompute touched groups from the base's live state. When the
+        # leading group key is the bucket key, prune the scan to the
+        # touched BUCKETS first (metadata-only; the bucket set collect is
+        # bounded by n_buckets) — the recompute then reads O(touched
+        # files), not the table. The semi join handles the rest; no
         # broadcast hint on purpose: AQE broadcasts the changed-key side
         # when it is small (the common case) and shuffle-joins when a
         # bulk backfill touches most groups — both correct, neither
         # driver-bound.
-        live = base.scan(version=to_version)
+        live_files = None
+        if keys[0] == base.merge_keys[0]:
+            brows = (
+                changed.select(base.bucket_expr(key_col=keys[0]).alias("b"))
+                .distinct()
+                .collect()
+            )
+            bset = {r["b"] for r in brows}
+            live_files = [
+                f for f in base.files(base.snapshot(to_version)) if f.bucket in bset
+            ]
+        live = base.scan(version=to_version, files=live_files)
         affected = live.join(changed, on=keys, how="left_semi")
         recomputed = affected.groupBy(*keys).agg(*agg_exprs())
         data_cols = [c for c in recomputed.columns if c not in keys]

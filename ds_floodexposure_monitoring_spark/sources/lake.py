@@ -424,8 +424,12 @@ class LakeTable:
             "parent": cur["snapshot_id"],
             "batch_id": old.get("batch_id"),
             "merge_keys": cur["merge_keys"],
-            "n_buckets": cur["n_buckets"],
-            "bucket_seed": cur.get("bucket_seed", 0),
+            # bucket layout comes from the TARGET snapshot: its files were
+            # hashed under ITS n_buckets/seed — restoring them under a
+            # newer layout (e.g. rolling back across a rebucket) would
+            # silently corrupt every bucket-pruning path
+            "n_buckets": old["n_buckets"],
+            "bucket_seed": old.get("bucket_seed", 0),
             "stat_cols": old.get("stat_cols", []),
             "schema_version": old["schema_version"],
             "schemas": old["schemas"],
@@ -537,6 +541,19 @@ class LakeTable:
             "max_key string, schema_version long",
         )
 
+    def _bound_scalar(self, v):
+        """Normalize a caller-supplied range bound like a footer stat.
+        Naive datetimes are interpreted in the SPARK SESSION timezone
+        (that is how ``F.lit`` and ``collect()`` render timestamps), not
+        blindly as UTC — on a non-UTC session the difference would
+        silently shift the prune window and drop overlapping files."""
+        if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            from zoneinfo import ZoneInfo
+
+            tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            v = v.replace(tzinfo=ZoneInfo(tz))
+        return _stat_scalar(v)
+
     def prune_for_range(self, col: str, lo, hi, snapshot: dict | None = None) -> list[DataFile]:
         """Files a range read on ``col`` must open (metadata only).
         ``col`` must be in the table's ``stat_cols``; files written
@@ -562,7 +579,7 @@ class LakeTable:
                 f"column {col!r} has no file stats (table stat_cols="
                 f"{snap.get('stat_cols', [])}); pass stat_cols=({col!r},) at create"
             )
-        lo_n, hi_n = _stat_scalar(lo), _stat_scalar(hi)
+        lo_n, hi_n = self._bound_scalar(lo), self._bound_scalar(hi)
         files = self.files(snap)
 
         def overlaps(f: DataFile) -> bool:
@@ -642,9 +659,21 @@ class LakeTable:
         j = o.join(n, on=keys, how="full_outer")
         old_alive = F.coalesce(F.col("_o_present"), F.lit(False)) & ~F.col("_o_dead")
         new_alive = F.coalesce(F.col("_n_present"), F.lit(False)) & ~F.col("_n_dead")
+        # an update is a moved LSN OR a changed payload at the same LSN —
+        # the latter happens via out-of-band row-level DML (update_where
+        # keeps LSNs so in-flight CDC events still order correctly);
+        # null-safe struct compare so NULL payload fields diff correctly
+        payload_changed = ~F.struct(
+            *[F.col(f"_o_{c}") for c in data_cols]
+        ).eqNullSafe(F.struct(*[F.col(f"_n_{c}") for c in data_cols]))
         change = (
             F.when(~old_alive & new_alive, F.lit("insert"))
-            .when(old_alive & new_alive & (F.col("_o_lsn") != F.col("_n_lsn")), F.lit("update"))
+            .when(
+                old_alive
+                & new_alive
+                & ((F.col("_o_lsn") != F.col("_n_lsn")) | payload_changed),
+                F.lit("update"),
+            )
             .when(old_alive & ~new_alive, F.lit("delete"))
         )
         is_delete = F.col("change_type") == "delete"

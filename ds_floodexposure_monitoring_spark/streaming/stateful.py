@@ -208,6 +208,9 @@ def run_lww_dedup_stream_sync(spark: SparkSession, events_path: str) -> DataFram
     import tempfile
 
     static = spark.read.parquet(events_path)
+    # stage via symlink (the file streaming source requires a directory;
+    # same pattern as stream._stream_from_file, but the sentinel append
+    # below needs the directory handle, so staged inline)
     d = tempfile.mkdtemp(prefix="lwwsrc-")
     os.symlink(os.path.abspath(events_path), os.path.join(d, "part-0.parquet"))
     src = spark.readStream.schema(static.schema).parquet(d)
@@ -232,8 +235,7 @@ def run_lww_dedup_stream_sync(spark: SparkSession, events_path: str) -> DataFram
     finally:
         q.stop()
     rows = spark.table(name).where(F.col("user_id") >= 0).collect()
-    out = spark.createDataFrame(rows, lww_dedup_stream(static).schema)
-    return out.where(F.col("user_id") >= 0)
+    return spark.createDataFrame(rows, LWW_OUT_SCHEMA)
 
 
 def run_sessionize_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:

@@ -78,6 +78,26 @@ def test_update_merge_key_rejected(spark, table):
         update_where(table, "turn_idx > 0", {"conv_id": F.lit("x")})
 
 
+def test_update_where_visible_in_change_feed(spark, table):
+    """A DML correction keeps LSNs, so the snapshot-diff feed must detect
+    it by PAYLOAD comparison — otherwise incremental rollups go stale."""
+    v0 = table.version
+    st = update_where(table, "turn_idx = 3", {"text": F.lit("corrected")})
+    feed = table.scan_changes(v0, table.version).collect()
+    assert len(feed) == st.rows_matched > 0
+    assert all(r.change_type == "update" and r.text == "corrected" for r in feed)
+
+
+def test_delete_matching_accepts_custom_key_col_name(spark, table):
+    from ds_floodexposure_monitoring_spark.operators.dml import delete_matching
+
+    ids = spark.createDataFrame([("c4",)], "the_id string")
+    before = _texts(table)
+    st = delete_matching(table, ids, key_col="the_id")
+    assert st is not None and st.rows_matched == sum(1 for x in before if x[0] == "c4")
+    assert all(c != "c4" for c, _, _ in _texts(table))
+
+
 def test_delete_matching_erases_key_set(spark, table):
     keys = spark.createDataFrame([("c2",), ("c7",), ("zz",)], "conv_id string")
     before = _texts(table)

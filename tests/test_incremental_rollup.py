@@ -129,6 +129,59 @@ def test_refresh_is_idempotent_and_noop_on_no_change(spark, tables):
     assert st2.changed_groups == 0 and derived.version == dv
 
 
+def test_refresh_handles_group_moves_on_mutable_group_column(spark, tables):
+    """Rollup grouped on a MUTABLE data column (g is the base table's
+    data here? no — build a base keyed on k alone, grouped on a data
+    column): an update that MOVES a row between groups must refresh
+    BOTH the moved-from and moved-to groups."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+
+    base, _ = tables
+    # base keyed on (g, k); group rollup on column "grp" stored in v? Use
+    # a dedicated base: keyed on k, data columns (grp, v)
+    root = _os.path.dirname(base.path)
+    b2 = LakeTable.create(
+        spark, _os.path.join(root, "movbase"),
+        T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]),
+        merge_keys=("k",), n_buckets=4,
+    )
+    d2 = LakeTable.create(
+        spark, _os.path.join(root, "movroll"),
+        T.StructType([
+            T.StructField("grp", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]),
+        merge_keys=("grp",), n_buckets=2,
+    )
+    aggs = lambda: [F.count("*").alias("n")]  # noqa: E731
+    merge_into(b2, spark.createDataFrame(
+        [(1, 1, "A", 1.0), (2, 2, "A", 2.0), (3, 3, "B", 3.0)],
+        "lsn long, k int, grp string, v double"), batch_id="m1")
+    v1 = b2.version
+    refresh_rollup(b2, d2, ("grp",), aggs, from_version=1, to_version=v1)
+    # move k=2 from group A to group B
+    merge_into(b2, spark.createDataFrame(
+        [(10, 2, "B", 2.0)], "lsn long, k int, grp string, v double"), batch_id="m2")
+    refresh_rollup(b2, d2, ("grp",), aggs, from_version=v1)
+    got = sorted((r.grp, r.n) for r in d2.scan().collect())
+    assert got == [("A", 1), ("B", 2)], got
+    # and group A vanishing entirely must tombstone its derived row
+    merge_into(b2, spark.createDataFrame(
+        [(20, 1, "B", 1.0)], "lsn long, k int, grp string, v double"), batch_id="m3")
+    prev = b2.version - 1
+    refresh_rollup(b2, d2, ("grp",), aggs, from_version=prev)
+    got = sorted((r.grp, r.n) for r in d2.scan().collect())
+    assert got == [("B", 3)], got
+
+
 def test_refresh_rejects_mismatched_derived_keys(spark, tmpdir_path):
     base = LakeTable.create(
         spark, os.path.join(tmpdir_path, "b2"), BASE_SCHEMA, merge_keys=("g", "k")

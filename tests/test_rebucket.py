@@ -51,3 +51,15 @@ def test_rebucket_preserves_state_and_layout_invariants(spark, tmpdir_path):
     # a same-count rebucket is rejected
     with pytest.raises(ValueError, match="already has"):
         t.rebucket(16)
+
+    # rollback ACROSS the rebucket must restore the old bucket layout
+    # with the old files — mixed layout would corrupt all bucket math
+    v_pre_rebucket = snap["version"] - 1
+    t.rollback(v_pre_rebucket)
+    assert t.n_buckets == 4
+    assert all(0 <= f.bucket < 4 for f in t.files())
+    assert _state(t) == before
+    # point lookup still exact under the restored layout
+    assert sorted(r.turn_idx for r in t.lookup(["c5"]).collect()) == sorted(
+        x[1] for x in before if x[0] == "c5"
+    )

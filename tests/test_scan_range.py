@@ -81,3 +81,20 @@ def test_stats_survive_commit_carry(spark, table):
     # data file carries ts bounds
     assert table.current()["stat_cols"] == ["ts"]
     assert all((f.col_stats or {}).get("ts") for f in table.files())
+
+
+def test_multimodal_kernels_skip_null_payloads(spark):
+    """NULL text rows must be skipped by the code-point kernels, not
+    crash the Python worker (the oracles generate no rows for NULL)."""
+    from ds_floodexposure_monitoring_spark.functions.multimodal import (
+        histogram_features,
+        resample_payload,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in histogram_features(df).collect()} == {1}
+    assert {r.doc_id for r in resample_payload(df).collect()} == {1}
+    assert {r.doc_id for r in sample_frames(df).collect()} == {1}
