@@ -62,7 +62,8 @@ def merge_append(
 ) -> AppendStats:
     """Merge-on-read apply: dedup the batch, append winners as deltas.
 
-    ONE Spark job per batch: the skew-split plan comes from
+    ONE Spark job per batch, ONE payload shuffle in that job (see the
+    inline comment at the dedup): the skew-split plan comes from
     ``splits_hint`` (the caller's previous-batch per-bucket row counts —
     CDC batches are statistically stable, AQE-style stat reuse) or, for
     the first batch, a uniform estimate from ``approx_rows`` (known from
@@ -85,27 +86,6 @@ def merge_append(
         src = src.withColumn(TOMBSTONE_COL, F.lit(False))
     batch = align_to_schema(src, write_schema, keep_extra=[LSN_COL, TOMBSTONE_COL])
 
-    # single shuffle: per-batch LWW dedup (map-side partial agg)
-    payload = [c for c in write_schema.fieldNames() if c not in keys] + [
-        LSN_COL,
-        TOMBSTONE_COL,
-    ]
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload]), F.struct(F.col(LSN_COL))
-    ).alias("_w")
-    obs = Observation()
-    winners = (
-        batch.groupBy(*keys)
-        .agg(winner, F.count(F.lit(1)).alias("_n"))
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("distinct_keys"),
-            F.sum("_n").alias("batch_rows"),
-        )
-        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
-        .withColumn("b", table.bucket_expr())
-    )
-
     if splits_hint:
         splits = dict(splits_hint)
     else:
@@ -117,8 +97,44 @@ def merge_append(
             [(b, per_bucket) for b in range(table.n_buckets)], target_rows_per_file
         )
 
-    to_write = with_salted_split(winners, "b", splits, salt_cols=keys)
-    new_files = table.write_data_files(to_write, write_schema, schema_version)
+    # ONE shuffle total: bucket + skew-split are deterministic functions
+    # of the merge key, so they are computed map-side and the batch is
+    # exchanged ONCE on (b, _split) — the write layout. The LWW dedup
+    # then runs as an aggregate whose grouping keys include (b, _split):
+    # HashPartitioning(b, _split) satisfies the agg's clustered
+    # distribution (every row of a key shares (b, _split)), so Catalyst
+    # plans partial+final max_by in the SAME stage with no second
+    # exchange, and the write below inherits the partitioning. The old
+    # shape (groupBy(keys) → repartition(b, _split)) moved the full text
+    # payload across the wire twice; this moves it once — the dominant
+    # per-event memory-bandwidth cost at high core counts
+    # (BENCH/BASELINE.md). Bonus: the max_by SortAggregate's required
+    # sort on (b, _split, keys) leaves every data file key-sorted, so
+    # footer min/max stats are tight for point/range pruning.
+    payload = [c for c in write_schema.fieldNames() if c not in keys] + [
+        LSN_COL,
+        TOMBSTONE_COL,
+    ]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]), F.struct(F.col(LSN_COL))
+    ).alias("_w")
+    obs = Observation()
+    pre = with_salted_split(
+        batch.withColumn("b", table.bucket_expr()), "b", splits, salt_cols=keys
+    ).repartition("b", "_split")
+    to_write = (
+        pre.groupBy("b", "_split", *keys)
+        .agg(winner, F.count(F.lit(1)).alias("_n"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("distinct_keys"),
+            F.sum("_n").alias("batch_rows"),
+        )
+        .select("b", *keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
+    new_files = table.write_data_files(
+        to_write, write_schema, schema_version, pre_partitioned=True
+    )
     if not new_files:
         snap = table.commit(
             set(), [], batch_id=batch_id, operation="merge-append-empty",

@@ -15,16 +15,19 @@ Physical plan, built for 100 TB:
    (≤ n_buckets rows collected) selects only the table files whose
    (bucket, min/max key range) overlap the batch. Untouched files carry
    over into the new snapshot by metadata reference only — zero I/O.
-2. **Resolve**: affected files ∪ batch, then ONE hash aggregation
-   ``groupBy(merge keys) → max_by(payload, (lsn, is_batch))``. This
-   fuses per-batch dedup and merge resolution into a single shuffle
-   with map-side partial aggregation — there is no separate dedup pass,
-   no window sort, and no join. Batch wins LSN ties (MERGE matched ⇒
-   update).
-3. **Rewrite**: winners are salted-split per bucket (operators/skew.py)
-   so hot conversations fan out over multiple write tasks/files, then
-   written ``partitionBy(bucket)``; per-file key stats come from one
-   columnar scan of the key column.
+2. **Resolve**: affected files ∪ batch, exchanged ONCE on
+   ``(bucket, skew_split)`` — both deterministic functions of the merge
+   key, computed map-side — then ``groupBy(b, _split, merge keys) →
+   max_by(payload, (lsn, is_batch))`` runs in the same post-shuffle
+   stage (the hash partitioning satisfies the agg's clustered
+   distribution). This fuses per-batch dedup, merge resolution, AND the
+   write layout into a single payload shuffle — no separate dedup pass,
+   no window sort, no join, no second exchange before the write. Batch
+   wins LSN ties (MERGE matched ⇒ update).
+3. **Rewrite**: winners leave the resolve already salted-split per
+   bucket (operators/skew.py) so hot conversations fan out over
+   multiple write tasks/files, and are written ``partitionBy(bucket)``
+   task-local; per-file key stats come from the parquet footers.
 4. **Commit**: atomic snapshot swap carrying the batch_id (exactly-once
    anchor, streaming/checkpoint.py).
 """
@@ -154,20 +157,40 @@ def merge_into(
         batch_side = batch.drop("b").withColumn("_src", F.lit(1))
         combined = existing.unionByName(batch_side)
 
-        # ---- single-shuffle resolve: LWW with batch winning LSN ties
+        # ---- skew-split plan (driver-side, from census + file stats):
+        # needed BEFORE the resolve so bucket + split ride the one shuffle
+        existing_rows_per_bucket: dict[int, int] = {}
+        for f in candidates:
+            existing_rows_per_bucket[f.bucket] = existing_rows_per_bucket.get(f.bucket, 0) + f.rows
+        merged_counts = [
+            (b, ranges.get(b, (None, None, 0))[2] + existing_rows_per_bucket.get(b, 0))
+            for b in set(ranges) | set(existing_rows_per_bucket)
+        ]
+        splits = plan_bucket_splits(merged_counts, target_rows_per_file)
+
+        # ---- single-shuffle resolve: LWW with batch winning LSN ties.
+        # bucket and skew-split are functions of the merge key, computed
+        # map-side; the ONE exchange is on (b, _split) — the write layout
+        # — and the grouped max_by resolve runs in the same post-shuffle
+        # stage (HashPartitioning(b, _split) satisfies the agg's
+        # clustered distribution). No second exchange before the write.
         payload = [c for c in write_schema.fieldNames() if c not in keys]
         winner_struct = F.struct(
             *[F.col(c) for c in payload], F.col(LSN_COL), F.col(TOMBSTONE_COL), F.col("_src")
         )
         order_struct = F.struct(F.col(LSN_COL), F.col("_src"))
+        pre = with_salted_split(
+            combined.withColumn("b", table.bucket_expr()), "b", splits, salt_cols=keys
+        ).repartition("b", "_split")
         resolved = (
-            combined.groupBy(*keys)
+            pre.groupBy("b", "_split", *keys)
             .agg(
                 F.max_by(winner_struct, order_struct).alias("_w"),
                 F.sum(F.when(F.col("_src") == 0, 1).otherwise(0)).alias("_n_table"),
                 F.sum(F.col("_src")).alias("_n_batch"),
             )
             .select(
+                "b",
                 *keys,
                 *[F.col(f"_w.{c}").alias(c) for c in payload],
                 F.col(f"_w.{LSN_COL}").alias(LSN_COL),
@@ -196,21 +219,10 @@ def merge_into(
             F.sum(F.when(F.col("_n_batch") > 0, 1).otherwise(0)).alias("batch_keys"),
         )
 
-        # ---- skew-aware rewrite: splits sized from merged bucket rows
-        existing_rows_per_bucket: dict[int, int] = {}
-        for f in candidates:
-            existing_rows_per_bucket[f.bucket] = existing_rows_per_bucket.get(f.bucket, 0) + f.rows
-        merged_counts = [
-            (b, ranges.get(b, (None, None, 0))[2] + existing_rows_per_bucket.get(b, 0))
-            for b in set(ranges) | set(existing_rows_per_bucket)
-        ]
-        splits = plan_bucket_splits(merged_counts, target_rows_per_file)
-
-        to_write = resolved.drop("_wsrc", "_n_table", "_n_batch").withColumn(
-            "b", table.bucket_expr()
+        to_write = resolved.drop("_wsrc", "_n_table", "_n_batch")
+        new_files = table.write_data_files(
+            to_write, write_schema, schema_version, pre_partitioned=True
         )
-        to_write = with_salted_split(to_write, "b", splits, salt_cols=keys)
-        new_files = table.write_data_files(to_write, write_schema, schema_version)
         agg = obs.get
         _check_write_consistency(int(agg["rows"]), new_files)
 

@@ -876,6 +876,7 @@ class LakeTable:
         write_schema: T.StructType,
         schema_version: int,
         sort_by: list[str] | None = None,
+        pre_partitioned: bool = False,
     ) -> list[DataFile]:
         """Write rows (table-schema columns + _lsn + 'b' bucket + '_split')
         as new parquet data files and return their metadata.
@@ -889,12 +890,19 @@ class LakeTable:
         multi-node deployment these stats ride back in task commit
         messages, Iceberg-writer style; footer reads are the local-FS
         equivalent.
+
+        ``pre_partitioned``: the caller already exchanged the rows on
+        (b, _split) (the one-shuffle merge paths, operators/compact.py /
+        merge.py) — write task-local, no second shuffle here.
         """
         commit_dir = f"data/c{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, commit_dir)
         key0 = self.merge_keys[0]
 
-        to_write = df.repartition(F.col("b"), F.col("_split")).drop("_split")
+        if pre_partitioned:
+            to_write = df.drop("_split") if "_split" in df.columns else df
+        else:
+            to_write = df.repartition(F.col("b"), F.col("_split")).drop("_split")
         if sort_by:
             # read-optimized files (compaction passes the merge keys):
             # rows sorted by key within each file give tight per-row-

@@ -99,3 +99,64 @@ def test_sessionize_single_shuffle(spark):
     assert len(exchange_ids) == 1, exchange_ids
     args = re.findall(r"Arguments: hashpartitioning\(([^,)]+)", p)
     assert args and args[0].startswith("user_id"), args
+
+
+def test_merge_paths_single_exchange(spark, tmp_path):
+    """The ingest hot paths (merge_append and merge_into) must move the
+    payload across the wire exactly ONCE per batch: bucket + skew-split
+    are computed map-side, the one exchange is on (b, _split), and the
+    LWW max_by agg + partitionBy write run in the same post-shuffle
+    stage. A second Exchange in the write job means the full text
+    payload is shuffled twice — the regression this test pins."""
+    import re
+
+    from pyspark.sql import types as T
+
+    from ds_floodexposure_monitoring_spark.operators import compact as compact_mod
+    from ds_floodexposure_monitoring_spark.operators import merge as merge_mod
+    from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [(f"c{i % 7}", i % 5, f"t{i}", i) for i in range(200)]
+    batch = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, lsn long"
+    )
+
+    plans: list[str] = []
+    orig = LakeTable.write_data_files
+
+    def capture(self, df, *a, **kw):
+        plans.append(
+            df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        return orig(self, df, *a, **kw)
+
+    LakeTable.write_data_files = capture
+    try:
+        t1 = LakeTable.create(spark, str(tmp_path / "mor"), schema, n_buckets=8)
+        compact_mod.merge_append(t1, batch)
+        t2 = LakeTable.create(spark, str(tmp_path / "cow"), schema, n_buckets=8)
+        merge_mod.merge_into(t2, batch)
+        # COW second batch: existing files + batch resolve, still one
+        merge_mod.merge_into(t2, batch.withColumn("lsn", batch.lsn + 1000))
+    finally:
+        LakeTable.write_data_files = orig
+
+    assert len(plans) == 3
+    for p in plans:
+        ex = re.findall(r"\(\d+\) Exchange", p)
+        # broadcast exchange for the splits dim is fine; count only
+        # shuffle exchanges
+        shuffles = [m for m in re.findall(r"\(\d+\) (BroadcastExchange|Exchange)", p) if m == "Exchange"]
+        assert len(shuffles) == 1, p
+        assert "hashpartitioning(b" in p
