@@ -6,16 +6,34 @@ codab.py:42-48 ``if_exists="replace"`` — which can't express "remove
 these rows"; this is the surgical form a GDPR erasure or correction run
 needs).
 
-Copy-on-write at BUCKET granularity: one planning pass finds the buckets
-that actually hold matching live rows (and the match count — the collect
-is bounded by ``n_buckets``, never row count), only those buckets' files
-are rewritten with the predicate applied, and the commit swaps the file
-lists atomically with optimistic concurrency. Untouched buckets — at
-10^10 rows, almost all of them — carry over by metadata reference only.
+Two physical strategies, same logical semantics (Iceberg's
+copy-on-write vs merge-on-read table modes):
+
+- **Copy-on-write** (``delete_where`` / ``update_where`` /
+  ``delete_matching``): one planning pass finds the buckets that hold
+  matching live rows (the collect is bounded by ``n_buckets``, never
+  row count), only those buckets' files are rewritten with the
+  predicate applied, and the commit swaps the file lists atomically
+  with optimistic concurrency. Untouched buckets — at 10^10 rows,
+  almost all of them — carry over by metadata reference only. Read
+  cost afterwards: zero (files stay resolved).
+- **Merge-on-read** (``delete_where_mor`` / ``update_where_mor``):
+  write cost proportional to MATCHED ROWS, not to the touched buckets'
+  total rows — corrections are appended as delta rows carrying the
+  original row's LSN plus a bumped ``_dml_seq`` (Iceberg
+  sequence-number analog); scan-time LWW resolves ``(lsn, seq)`` so
+  the correction wins over the stored original AND over any exact
+  redelivery of the pre-correction event, while a genuinely newer CDC
+  event (higher LSN) still beats the correction. Compaction folds the
+  deltas and physically erases corrected-away rows. This is the path
+  for a broad-predicate correction over a 10^10-row table, where COW
+  would rewrite nearly every bucket.
+
 Tombstone rows ride through rewrites unchanged so out-of-order CDC
-ordering guards survive; DELETE removes live rows physically (the
-erasure semantic), so a later change event for the same key re-inserts
-it as a fresh row, which is standard CDC behavior.
+ordering guards survive; COW DELETE removes live rows physically (the
+erasure semantic), MOR DELETE removes them physically at compaction.
+Either way a later change event for the same key re-inserts the key as
+a fresh row, which is standard CDC behavior.
 """
 
 from __future__ import annotations
@@ -25,7 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, Observation
 from pyspark.sql import functions as F
 
-from ..sources.lake import TOMBSTONE_COL, LakeTable
+from ..sources.lake import DML_SEQ_COL, TOMBSTONE_COL, LakeTable
 from .merge import _check_write_consistency
 from .skew import plan_bucket_splits, with_salted_split
 
@@ -43,9 +61,9 @@ def _alive() -> Column:
     return ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
 
 
-def _plan(table: LakeTable, cond: Column) -> tuple[set[int], int]:
-    """(buckets holding live matches, live match count) — one Spark job,
-    ≤ n_buckets rows to the driver."""
+def _plan(table: LakeTable, cond: Column) -> tuple[dict[int, int], int]:
+    """({bucket holding live matches: match count}, live match count) —
+    one Spark job, ≤ n_buckets rows to the driver."""
     rows = (
         table.scan()
         .where(cond)
@@ -53,7 +71,7 @@ def _plan(table: LakeTable, cond: Column) -> tuple[set[int], int]:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    return {r["b"] for r in rows}, sum(r["n"] for r in rows)
+    return {r["b"]: r["n"] for r in rows}, sum(r["n"] for r in rows)
 
 
 def _rewrite(
@@ -186,11 +204,10 @@ def update_where(
     a higher LSN still wins over the updated value — UPDATE is a
     point-in-time correction, not a new change event). The change feed
     still reports these rows (scan_changes compares payloads null-safely
-    when LSNs tie), so incremental rollups pick corrections up. Known
-    hazard, shared with every system mixing out-of-band DML into a
-    replayed log: an exact REDELIVERY of the pre-update event ties on
-    LSN with a different payload and the resolve may pick either — run
-    corrections after the log's redelivery horizon."""
+    when LSNs tie), so incremental rollups pick corrections up. Updated
+    rows get a bumped ``_dml_seq`` (Iceberg sequence-number analog), so
+    an exact REDELIVERY of the pre-update event — same LSN, seq 0 —
+    deterministically LOSES to the correction in every later merge."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     bad = set(assignments) & set(table.merge_keys)
     if bad:
@@ -198,15 +215,125 @@ def update_where(
     buckets, _matched = _plan(table, cond)
     if not buckets:
         return None
+    full = dict(assignments)
+    full[DML_SEQ_COL] = F.coalesce(F.col(DML_SEQ_COL), F.lit(0)) + F.lit(1)
 
     def transform(df):
         hit = _alive() & F.coalesce(cond, F.lit(False))
         cols = []
         for c in df.columns:
-            if c in assignments:
-                cols.append(F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c))
+            if c in full:
+                cols.append(F.when(hit, full[c]).otherwise(F.col(c)).alias(c))
             else:
                 cols.append(F.col(c))
         return df.select(*cols)
 
     return _rewrite(table, buckets, _matched, transform, "update-where", target_rows_per_file)
+
+
+def _append_corrections(
+    table: LakeTable,
+    deltas,
+    per_bucket: dict[int, int],
+    matched: int,
+    operation: str,
+    target_rows_per_file: int,
+) -> DmlStats:
+    """Write correction rows as delta files and commit merge-on-read.
+
+    ``deltas`` must carry the table schema + ``_lsn`` (the corrected
+    row's ORIGINAL LSN), ``_tombstone``, and a bumped ``_dml_seq``.
+    Write cost is O(matched rows); no existing file is touched."""
+    cur = table.current()
+    out = deltas.withColumn("b", table.bucket_expr())
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+    splits = plan_bucket_splits(list(per_bucket.items()), target_rows_per_file)
+    to_write = with_salted_split(out, "b", splits, salt_cols=table.merge_keys)
+    new_files = table.write_data_files(
+        to_write, table.schema(cur), cur["schema_version"], sort_by=table.merge_keys
+    )
+    _check_write_consistency(int(obs.get["rows"]), new_files)
+    snap = table.commit(
+        set(),
+        new_files,
+        operation=operation,
+        requires_resolve=True,  # deltas overlap stored rows by key
+        expected_parent_version=cur["version"],
+        summary_extra={"buckets_touched": len(per_bucket), "rows_matched": matched},
+    )
+    return DmlStats(
+        buckets_rewritten=0,
+        files_removed=0,
+        files_added=len(new_files),
+        rows_matched=matched,
+        snapshot_version=snap["version"],
+    )
+
+
+def delete_where_mor(
+    table: LakeTable,
+    condition: Column | str,
+    target_rows_per_file: int = 2_000_000,
+) -> DmlStats | None:
+    """Merge-on-read DELETE: append one tombstone per matching live row
+    instead of rewriting the buckets that hold them.
+
+    The tombstone carries the victim's LSN and a bumped ``_dml_seq``,
+    so scan-time LWW resolves the key to 'deleted' — over the stored
+    row AND over any exact redelivery — while a genuinely newer CDC
+    event (higher LSN) still re-inserts the key. Physical erasure
+    happens when compaction folds the deltas (pass an LSN watermark to
+    drop the tombstones themselves). Use when the predicate matches few
+    rows spread over many buckets; COW ``delete_where`` rewrites every
+    touched bucket, this writes only the matches."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    per_bucket, matched = _plan(table, cond)
+    if not per_bucket:
+        return None
+    hits = (
+        table.scan(include_internal=True)
+        .where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        .where(F.coalesce(cond, F.lit(False)))
+    )
+    deltas = hits.withColumn(TOMBSTONE_COL, F.lit(True)).withColumn(
+        DML_SEQ_COL, F.coalesce(F.col(DML_SEQ_COL), F.lit(0)) + F.lit(1)
+    )
+    return _append_corrections(
+        table, deltas, per_bucket, matched, "delete-where-mor", target_rows_per_file
+    )
+
+
+def update_where_mor(
+    table: LakeTable,
+    condition: Column | str,
+    assignments: dict[str, Column],
+    target_rows_per_file: int = 2_000_000,
+) -> DmlStats | None:
+    """Merge-on-read UPDATE: append one post-image row per matching live
+    row (original LSN, bumped ``_dml_seq``) instead of rewriting the
+    buckets. Same ordering semantics as ``update_where``; write cost is
+    O(matched rows). Fold with ``operators.compact.compact``."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    bad = set(assignments) & set(table.merge_keys)
+    if bad:
+        raise ValueError(f"cannot UPDATE merge-key columns {sorted(bad)}")
+    per_bucket, matched = _plan(table, cond)
+    if not per_bucket:
+        return None
+    hits = (
+        table.scan(include_internal=True)
+        .where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        .where(F.coalesce(cond, F.lit(False)))
+    )
+    full = dict(assignments)
+    full[DML_SEQ_COL] = F.coalesce(F.col(DML_SEQ_COL), F.lit(0)) + F.lit(1)
+    deltas = hits.select(
+        *[
+            (full[c] if c in full else F.col(c)).alias(c)
+            for c in hits.columns
+        ]
+    )
+    return _append_corrections(
+        table, deltas, per_bucket, matched, "update-where-mor", target_rows_per_file
+    )

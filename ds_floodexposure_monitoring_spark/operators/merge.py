@@ -39,7 +39,7 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..sources.lake import LSN_COL, TOMBSTONE_COL, DataFile, LakeTable
+from ..sources.lake import DML_SEQ_COL, LSN_COL, TOMBSTONE_COL, DataFile, LakeTable
 from .evolve import align_to_schema, evolve_schema
 from .skew import plan_bucket_splits, with_salted_split
 
@@ -149,12 +149,17 @@ def merge_into(
         removed_paths = {f.path for f in candidates}
 
         existing = table.scan(files=candidates, include_internal=True)
-        existing = align_to_schema(
-            existing, write_schema, keep_extra=[LSN_COL, TOMBSTONE_COL]
-        ).withColumn(TOMBSTONE_COL, F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).withColumn(
-            "_src", F.lit(0)
+        existing = (
+            align_to_schema(
+                existing, write_schema, keep_extra=[LSN_COL, TOMBSTONE_COL, DML_SEQ_COL]
+            )
+            .withColumn(TOMBSTONE_COL, F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+            .withColumn(DML_SEQ_COL, F.coalesce(F.col(DML_SEQ_COL), F.lit(0)))
+            .withColumn("_src", F.lit(0))
         )
-        batch_side = batch.drop("b").withColumn("_src", F.lit(1))
+        batch_side = (
+            batch.drop("b").withColumn(DML_SEQ_COL, F.lit(0)).withColumn("_src", F.lit(1))
+        )
         combined = existing.unionByName(batch_side)
 
         # ---- skew-split plan (driver-side, from census + file stats):
@@ -176,9 +181,18 @@ def merge_into(
         # clustered distribution). No second exchange before the write.
         payload = [c for c in write_schema.fieldNames() if c not in keys]
         winner_struct = F.struct(
-            *[F.col(c) for c in payload], F.col(LSN_COL), F.col(TOMBSTONE_COL), F.col("_src")
+            *[F.col(c) for c in payload],
+            F.col(LSN_COL),
+            F.col(TOMBSTONE_COL),
+            F.col(DML_SEQ_COL),
+            F.col("_src"),
         )
-        order_struct = F.struct(F.col(LSN_COL), F.col("_src"))
+        # lexicographic (lsn, dml_seq, src): a fresh event with a higher
+        # LSN beats any correction; at equal LSN a correction (seq > 0)
+        # beats the redelivered original (seq 0) — the documented
+        # update_where redelivery hazard, closed; at equal (lsn, seq)
+        # the batch wins (MERGE matched => update)
+        order_struct = F.struct(F.col(LSN_COL), F.col(DML_SEQ_COL), F.col("_src"))
         pre = with_salted_split(
             combined.withColumn("b", table.bucket_expr()), "b", splits, salt_cols=keys
         ).repartition("b", "_split")
@@ -195,6 +209,7 @@ def merge_into(
                 *[F.col(f"_w.{c}").alias(c) for c in payload],
                 F.col(f"_w.{LSN_COL}").alias(LSN_COL),
                 F.col(f"_w.{TOMBSTONE_COL}").alias(TOMBSTONE_COL),
+                F.col(f"_w.{DML_SEQ_COL}").alias(DML_SEQ_COL),
                 F.col("_w._src").alias("_wsrc"),
                 "_n_table",
                 "_n_batch",

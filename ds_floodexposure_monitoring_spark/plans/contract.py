@@ -353,6 +353,38 @@ def dml_update_where(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "dml_mor_correction",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_type,
+           CASE WHEN value < 25 THEN value + 500 ELSE value END AS value, ts
+    FROM s WHERE NOT (value >= 95)
+    """,
+    note="merge-on-read DML (Iceberg MOR table-mode analog): DELETE then "
+         "UPDATE append per-matched-row correction deltas carrying the "
+         "original LSN and a bumped _dml_seq sequence number; no bucket "
+         "is rewritten — write cost is O(matched rows), the path for a "
+         "broad correction over a 10^10-row table. Scan-time LWW "
+         "resolves (lsn, seq) so corrections beat stored originals and "
+         "exact redeliveries while newer CDC events beat corrections; a "
+         "final compaction folds the deltas and physically erases the "
+         "deleted rows, leaving the same visible state (this oracle)",
+)
+def dml_mor_correction(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.compact import compact
+    from ..operators.dml import delete_where_mor, update_where_mor
+
+    t, _versions = _staged_events_table(spark, sf, "dmlmor")
+    delete_where_mor(t, F.col("value") >= 95)
+    update_where_mor(t, F.col("value") < 25, {"value": F.col("value") + 500})
+    compact(t, min_files_per_bucket=1, tombstone_watermark_lsn=2**62)
+    return t.scan().select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
     "schema_evolution_merge",
     """
     WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),

@@ -52,7 +52,13 @@ TOMBSTONE_COL = "_tombstone"  # persisted delete marker: a tombstone must keep
 # competing by LSN across batches (a stale pre-delete update arriving later
 # must NOT resurrect the row), so deletes are retained as hidden rows and
 # filtered at scan — Iceberg merge-on-read delete-file analog.
-INTERNAL_COLS = (LSN_COL, TOMBSTONE_COL)
+DML_SEQ_COL = "_dml_seq"  # Iceberg sequence-number analog for out-of-band
+# row-level DML (operators/dml.py MOR paths): corrections keep the row's LSN
+# so in-flight CDC events still order correctly, and the sequence breaks the
+# LSN tie in favor of the LATER correction — an exact redelivery of the
+# pre-correction event (same LSN, seq 0) deterministically loses. Absent /
+# null in files written by the ingest paths; read as 0.
+INTERNAL_COLS = (LSN_COL, TOMBSTONE_COL, DML_SEQ_COL)
 
 
 @dataclass(frozen=True)
@@ -333,6 +339,7 @@ class LakeTable:
         internal_fields = [
             T.StructField(LSN_COL, T.LongType(), True),
             T.StructField(TOMBSTONE_COL, T.BooleanType(), True),
+            T.StructField(DML_SEQ_COL, T.LongType(), True),
         ]
         if not flist:
             out_schema = T.StructType(target.fields + (internal_fields if include_internal else []))
@@ -346,25 +353,32 @@ class LakeTable:
             stored = self.schema_for_version(sv, snap)
             read_schema = T.StructType(stored.fields + internal_fields)
             df = self.spark.read.schema(read_schema).parquet(*paths)
-            parts.append(align_to_schema(df, target, keep_extra=[LSN_COL, TOMBSTONE_COL]))
+            parts.append(
+                align_to_schema(df, target, keep_extra=[LSN_COL, TOMBSTONE_COL, DML_SEQ_COL])
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         if snap.get("requires_resolve", False):
             # merge-on-read: delta files overlap by key; resolve
-            # last-writer-wins by LSN before anything else sees the rows
-            # (one hash agg with map-side partials; LSN ties cannot
-            # carry divergent payloads per CDC contract)
+            # last-writer-wins by (LSN, dml_seq) before anything else
+            # sees the rows (one hash agg with map-side partials; LSN
+            # ties cannot carry divergent payloads per CDC contract
+            # EXCEPT out-of-band DML corrections, which carry a higher
+            # _dml_seq precisely so the tie resolves to the correction)
             from ..operators.dedup import dedup_last_writer
 
-            out = dedup_last_writer(out, keys=snap["merge_keys"], order_cols=(LSN_COL,))
+            out = out.withColumn(DML_SEQ_COL, F.coalesce(F.col(DML_SEQ_COL), F.lit(0)))
+            out = dedup_last_writer(
+                out, keys=snap["merge_keys"], order_cols=(LSN_COL, DML_SEQ_COL)
+            )
         if not include_internal:
             # IS NULL OR = false is a pushable predicate (Or(IsNull,
             # EqualTo) reaches the parquet row-group stats); the
             # equivalent ~coalesce(col, false) is not
             out = out.where(
                 F.col(TOMBSTONE_COL).isNull() | (F.col(TOMBSTONE_COL) == F.lit(False))
-            ).drop(LSN_COL, TOMBSTONE_COL)
+            ).drop(LSN_COL, TOMBSTONE_COL, DML_SEQ_COL)
         return out
 
     # ---------------------------------------------------------- point lookup
