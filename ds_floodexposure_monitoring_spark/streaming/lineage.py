@@ -22,6 +22,9 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("offsets_after", T.StringType(), True),
         T.StructField("snapshot_version", T.LongType(), True),
         T.StructField("events", T.LongType(), True),
+        # malformed rows diverted to the dead-letter quarantine this
+        # batch (streaming/quarantine.py) — alert on a spike
+        T.StructField("quarantined", T.LongType(), True),
         T.StructField("dedup_dropped", T.LongType(), True),
         T.StructField("merge_updated", T.LongType(), True),
         T.StructField("merge_inserted", T.LongType(), True),

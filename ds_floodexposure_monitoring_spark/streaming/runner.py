@@ -48,6 +48,8 @@ class CDCPipeline:
         expire_every: int | None = None,
         keep_snapshots: int = 8,
         orphan_grace_sec: float = 3600.0,
+        quarantine_dir: str | None = None,
+        invalid_when=None,
     ):
         """``mode``: 'cow' rewrites affected buckets per batch (read-
         optimized); 'mor' appends delta files and resolves at scan
@@ -61,7 +63,14 @@ class CDCPipeline:
         bound. ``keep_snapshots`` must cover the replay-detection
         horizon (the checkpoint already stops older batches from being
         re-offered, and ``_committed`` caches every batch id seen this
-        run, so retention only has to cover a crash-restart window)."""
+        run, so retention only has to cover a crash-restart window).
+
+        ``quarantine_dir``: dead-letter channel — rows with a NULL merge
+        key or NULL lsn (plus any ``invalid_when`` contract predicate)
+        are diverted there with a reason instead of failing the batch or
+        corrupting the table; the merge sees only valid rows and metrics
+        record the per-batch quarantined count (streaming/quarantine.py).
+        Default None = validation off, zero extra passes over the batch."""
         self.spark = spark
         self.reader = ChangelogReader(spark, changelog_dir, max_events_per_batch)
         self.table = table
@@ -76,6 +85,10 @@ class CDCPipeline:
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
         self.orphan_grace_sec = orphan_grace_sec
+        from .quarantine import Quarantine
+
+        self.quarantine = Quarantine(spark, quarantine_dir) if quarantine_dir else None
+        self.invalid_when = invalid_when
         # replay-detection set: O(snapshots) once at startup, O(1) per batch
         self._committed = self.table.committed_batch_ids()
         # mor skew-split hint: previous batch's per-bucket winner rows
@@ -97,8 +110,20 @@ class CDCPipeline:
             or self.table.current().get("batch_id") == batch.batch_id
         )
         stats: MergeStats | None = None
+        n_quarantined = 0
         if not replayed:
             df = self.reader.read_batch(batch)
+            if self.quarantine is not None:
+                from .quarantine import Quarantine as _Q
+                from .quarantine import invalid_reason
+
+                reason = invalid_reason(
+                    self.table.merge_keys, "lsn", extra=self.invalid_when
+                )
+                bad = df.where(reason.isNotNull()).withColumn(_Q.REASON_COL, reason)
+                n_quarantined = self.quarantine.write(bad, batch.batch_id)
+                if n_quarantined:
+                    df = df.where(reason.isNull())
             common = dict(
                 op_col="op" if "op" in df.columns else None,
                 batch_id=batch.batch_id,
@@ -154,6 +179,7 @@ class CDCPipeline:
                     "offsets_after": batch.offsets_after,
                     "snapshot_version": self.table.version,
                     "events": batch.n_events,
+                    "quarantined": n_quarantined,
                     "dedup_dropped": stats.dedup_dropped if stats else 0,
                     "merge_updated": getattr(stats, "updated", 0) if stats else 0,
                     "merge_inserted": getattr(stats, "inserted", 0) if stats else 0,
