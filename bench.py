@@ -35,6 +35,7 @@ HEADLINE = [
     "cdc_merge_full",
     "incremental_rollup_refresh",
     "schema_evolution_merge",
+    "dml_mor_correction",
     "zonal_rollup",
     "hierarchy_rollup",
     "rolling_mean_range",
