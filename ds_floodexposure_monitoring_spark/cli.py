@@ -89,6 +89,8 @@ def cmd_ingest(args) -> int:
             merge_keys=tuple(args.merge_keys.split(",")),
             n_buckets=args.n_buckets,
         )
+    if args.branch:
+        table = table.on_branch(args.branch)
     pipe = CDCPipeline(
         spark,
         args.log_dir,
@@ -103,6 +105,7 @@ def cmd_ingest(args) -> int:
         expire_every=args.expire_every,
         keep_snapshots=args.keep_snapshots,
         orphan_grace_sec=args.orphan_grace_sec,
+        quarantine_dir=args.quarantine_dir,
     )
     results = pipe.run_until_caught_up(max_batches=args.max_batches)
     events = sum(r.batch.n_events for r in results)
@@ -264,6 +267,42 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-tag")
+    table = LakeTable.load(spark, args.table_dir)
+    if args.drop:
+        table.drop_tag(args.name)
+        _emit({"op": "drop-tag", "table_dir": args.table_dir, "name": args.name})
+    else:
+        v = table.tag(args.name, version=args.version, replace=args.replace)
+        _emit({"op": "tag", "table_dir": args.table_dir, "name": args.name, "version": v})
+    return 0
+
+
+def cmd_branch(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-branch")
+    table = LakeTable.load(spark, args.table_dir)
+    if args.action == "create":
+        b = table.create_branch(args.name)
+        _emit({"op": "branch-create", "table_dir": args.table_dir,
+               "name": args.name, "at_version": b.version})
+    elif args.action == "publish":
+        snap = table.publish_branch(args.name, drop=not args.keep)
+        _emit({"op": "branch-publish", "table_dir": args.table_dir,
+               "name": args.name, "main_version": snap["version"]})
+    elif args.action == "drop":
+        table.drop_branch(args.name)
+        _emit({"op": "branch-drop", "table_dir": args.table_dir, "name": args.name})
+    else:  # list
+        _emit({"op": "branch-list", "table_dir": args.table_dir,
+               "branches": table.branches(), "tags": table.tags()})
+    return 0
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--master", default=None,
                    help="Spark master; omit under spark-submit (cluster provides it)")
@@ -304,6 +343,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--keep-snapshots", type=int, default=8)
     i.add_argument("--orphan-grace-sec", type=float, default=3600.0)
     i.add_argument("--max-batches", type=int, default=None)
+    i.add_argument("--branch", default=None,
+                   help="ingest to this branch head instead of main (write-audit-publish)")
+    i.add_argument("--quarantine-dir", default=None,
+                   help="dead-letter store for malformed events (default: fail-open, no validation)")
     i.set_defaults(fn=cmd_ingest)
 
     c = sub.add_parser("compact", help="fold MOR delta files into base files")
@@ -354,6 +397,24 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--table-dir", required=True)
     d.add_argument("--where", required=True, help="SQL predicate, e.g. \"conv_id = 'c1'\"")
     d.set_defaults(fn=cmd_delete)
+
+    t = sub.add_parser("tag", help="pin/drop a named snapshot tag (expire-proof)")
+    _add_common(t)
+    t.add_argument("--table-dir", required=True)
+    t.add_argument("--name", required=True)
+    t.add_argument("--version", type=int, default=None, help="default: current head")
+    t.add_argument("--replace", action="store_true")
+    t.add_argument("--drop", action="store_true")
+    t.set_defaults(fn=cmd_tag)
+
+    b = sub.add_parser("branch", help="branch lifecycle: create / publish / drop / list")
+    _add_common(b)
+    b.add_argument("action", choices=["create", "publish", "drop", "list"])
+    b.add_argument("--table-dir", required=True)
+    b.add_argument("--name", default=None)
+    b.add_argument("--keep", action="store_true",
+                   help="publish: keep the branch pointer after fast-forward")
+    b.set_defaults(fn=cmd_branch)
     return ap
 
 

@@ -21,6 +21,12 @@ replace:
   old files never rewritten.
 - **Time travel**: ``scan(version=k)`` reads snapshot k's file list
   with snapshot k's schema.
+- **Tags & branches**: ``tag(name)`` pins a name to a snapshot and
+  protects it from expiry; ``create_branch``/``publish_branch`` give
+  write-audit-publish — ingest to ``metadata/HEAD.<branch>``, audit the
+  branch scan, fast-forward main in one atomic pointer swap (Iceberg
+  tag/branch/fast-forward analog). Version numbers are globally unique
+  across branches, arbitrated by the same exclusive-create CAS.
 - **Bucketed layout**: data files live in ``data/.../b=<bucket>`` where
   ``bucket = pmod(xxhash64(key_0), n_buckets)``. MERGE prunes to the
   buckets + key ranges a batch touches (the generalization of the
@@ -177,13 +183,36 @@ def _dedupe_task_attempts(paths: list[str]) -> list[str]:
 
 
 class LakeTable:
-    """A bucketed, snapshot-versioned, merge-keyed lake table."""
+    """A bucketed, snapshot-versioned, merge-keyed lake table.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``branch`` selects which head pointer this handle reads and
+    advances: "main" is ``metadata/HEAD``; any other name is
+    ``metadata/HEAD.<branch>`` (Iceberg branch analog). Version numbers
+    are globally unique across branches (the exclusive snapshot-file
+    create arbitrates), so time travel, expiry, and the CAS all keep
+    working; each branch's history is its parent chain."""
+
+    def __init__(self, spark: SparkSession, path: str, branch: str = "main"):
         self.spark = spark
         self.path = os.path.abspath(path)
+        self.branch = branch
         self._meta_dir = os.path.join(self.path, "metadata")
         self._head: dict | None = None  # cached current snapshot
+
+    @property
+    def _head_file(self) -> str:
+        name = "HEAD" if self.branch == "main" else f"HEAD.{self.branch}"
+        return os.path.join(self._meta_dir, name)
+
+    def _next_version(self) -> int:
+        """Next globally-unique version number (across all branches)."""
+        import glob as _glob
+
+        vs = [
+            int(os.path.basename(p)[1:-5])
+            for p in _glob.glob(os.path.join(self._meta_dir, "v*.json"))
+        ]
+        return (max(vs) + 1) if vs else 1
 
     # ---------------------------------------------------------- lifecycle
     # Default bucket-hash seed. Decorrelates table bucketing from any
@@ -256,11 +285,11 @@ class LakeTable:
         _atomic_create_exclusive(
             self._snap_path(snap["version"]), json.dumps(snap, indent=1)
         )
-        _atomic_write(os.path.join(self._meta_dir, "HEAD"), str(snap["version"]))
+        _atomic_write(self._head_file, str(snap["version"]))
         self._head = snap
 
     def current(self) -> dict:
-        with open(os.path.join(self._meta_dir, "HEAD")) as f:
+        with open(self._head_file) as f:
             version = int(f.read().strip())
         if self._head is not None and self._head["version"] == version:
             return self._head
@@ -433,7 +462,8 @@ class LakeTable:
         if to_version >= cur["version"]:
             raise ValueError(f"rollback target v{to_version} is not before HEAD v{cur['version']}")
         snap = {
-            "version": cur["version"] + 1,
+            "version": self._next_version(),
+            "branch": self.branch,
             "snapshot_id": uuid.uuid4().hex,
             "parent": cur["snapshot_id"],
             "batch_id": old.get("batch_id"),
@@ -457,6 +487,108 @@ class LakeTable:
         }
         self._write_snapshot(snap)
         return snap
+
+    # ---------------------------------------------------------- tags
+    def _tags_file(self) -> str:
+        return os.path.join(self._meta_dir, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """{tag name: version} (Iceberg tag analog). Tagged versions are
+        protected from expire_snapshots regardless of retention."""
+        p = self._tags_file()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Pin a name to a retained snapshot (default: this branch's
+        head). Read it back with ``scan(version=t.tag_version(name))``."""
+        v = self.version if version is None else version
+        self.snapshot(v)  # raises if not retained
+        tags = self.tags()
+        if name in tags and not replace:
+            raise ValueError(f"tag {name!r} already points at v{tags[name]}")
+        tags[name] = v
+        _atomic_write(self._tags_file(), json.dumps(tags, indent=1))
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        _atomic_write(self._tags_file(), json.dumps(tags, indent=1))
+
+    def tag_version(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}; have {sorted(tags)}")
+        return tags[name]
+
+    # ---------------------------------------------------------- branches
+    def branches(self) -> dict[str, int]:
+        """{branch name: head version}, always including 'main'."""
+        import glob as _glob
+
+        out = {}
+        for p in sorted(_glob.glob(os.path.join(self._meta_dir, "HEAD*"))):
+            base = os.path.basename(p)
+            name = "main" if base == "HEAD" else base.split(".", 1)[1]
+            with open(p) as f:
+                out[name] = int(f.read().strip())
+        return out
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a branch at this handle's current head and return a
+        handle on it (Iceberg branch analog — the write side of
+        write-audit-publish: ingest to the branch, audit its scan, then
+        ``publish_branch`` to fast-forward main atomically). Zero data
+        copies: the branch starts as a head pointer to the same
+        snapshot."""
+        if name == "main" or "/" in name or "." in name:
+            raise ValueError(f"invalid branch name {name!r}")
+        b = LakeTable(self.spark, self.path, branch=name)
+        if os.path.exists(b._head_file):
+            raise FileExistsError(f"branch {name!r} already exists")
+        _atomic_write(b._head_file, str(self.version))
+        return b
+
+    def on_branch(self, name: str) -> "LakeTable":
+        """Handle on an existing branch."""
+        b = LakeTable(self.spark, self.path, branch=name)
+        b.current()  # raises if the branch does not exist
+        return b
+
+    def publish_branch(self, name: str, drop: bool = True) -> dict:
+        """Fast-forward THIS branch's head to ``name``'s head — the
+        publish step of write-audit-publish. Requires this head to be an
+        ancestor of the branch head (pure fast-forward; a diverged
+        branch must be rolled back or abandoned instead — no merge
+        commits). Metadata-only and atomic; readers flip from old state
+        to audited state in one pointer swap."""
+        b = self.on_branch(name)
+        head, target = self.current(), b.current()
+        if target["version"] != head["version"]:
+            by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+            cur = target
+            while cur is not None and cur["snapshot_id"] != head["snapshot_id"]:
+                cur = by_id.get(cur.get("parent"))
+            if cur is None:
+                raise CommitConflictError(
+                    f"branch {name!r} (v{target['version']}) does not descend from "
+                    f"{self.branch} head v{head['version']}; cannot fast-forward"
+                )
+        _atomic_write(self._head_file, str(target["version"]))
+        self._head = target
+        if drop:
+            self.drop_branch(name)
+        return target
+
+    def drop_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        p = os.path.join(self._meta_dir, f"HEAD.{name}")
+        if os.path.exists(p):
+            os.remove(p)
 
     def rebucket(self, new_n_buckets: int, target_rows_per_file: int = 2_000_000) -> dict:
         """Change the table's bucket count — the partition-evolution
@@ -497,7 +629,8 @@ class LakeTable:
             to_write, self.schema(cur), cur["schema_version"], sort_by=self.merge_keys
         )
         snap = {
-            "version": cur["version"] + 1,
+            "version": self._next_version(),
+            "branch": self.branch,
             "snapshot_id": uuid.uuid4().hex,
             "parent": cur["snapshot_id"],
             "batch_id": None,
@@ -744,7 +877,8 @@ class LakeTable:
         if requires_resolve is None:
             requires_resolve = cur.get("requires_resolve", False)
         snap = {
-            "version": cur["version"] + 1,
+            "version": self._next_version(),
+            "branch": self.branch,
             "snapshot_id": uuid.uuid4().hex,
             "parent": cur["snapshot_id"],
             "batch_id": batch_id,
@@ -852,8 +986,11 @@ class LakeTable:
         snaps = self.snapshots()
         head_version = self.version
         cutoff = head_version - keep_last + 1
-        kept = [s for s in snaps if s["version"] >= cutoff]
-        expired = [s for s in snaps if s["version"] < cutoff]
+        # tagged versions and every branch head are protected regardless
+        # of age (Iceberg tag/branch retention semantics)
+        protected = set(self.tags().values()) | set(self.branches().values())
+        kept = [s for s in snaps if s["version"] >= cutoff or s["version"] in protected]
+        expired = [s for s in snaps if not (s["version"] >= cutoff or s["version"] in protected)]
         referenced = {d["path"] for s in kept for d in s["files"]}
 
         for s in expired:

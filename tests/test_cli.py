@@ -70,6 +70,27 @@ def test_cli_lifecycle(spark, tmpdir_path, capsys):
     h = _run(capsys, ["history", "--table-dir", table])
     assert h["snapshots"][-1]["operation"] == "rollback"
 
+    # tag the restored state; WAP: branch-ingest fresh events, publish
+    t = _run(capsys, ["tag", "--table-dir", table, "--name", "golden"])
+    assert t["version"] == r["new_version"]
+    b = _run(capsys, ["branch", "create", "--table-dir", table, "--name", "wap"])
+    assert b["at_version"] == r["new_version"]
+    log2 = f"{tmpdir_path}/log2"
+    _run(capsys, ["datagen", "--log-dir", log2, "--events", "5000",
+                  "--shards", "2", "--seed", "8"])
+    _run(capsys, ["ingest", "--log-dir", log2, "--table-dir", table,
+                  "--branch", "wap", "--checkpoint-dir", f"{tmpdir_path}/ckpt2",
+                  "--mode", "mor", "--batch-events", "5000"])
+    assert _run(capsys, ["show", "--table-dir", table])["version"] == r["new_version"]
+    p = _run(capsys, ["branch", "publish", "--table-dir", table, "--name", "wap"])
+    s4 = _run(capsys, ["show", "--table-dir", table])
+    # main flipped to the audited branch head; staged ingest can only
+    # upsert (lower-LSN events never displace existing winners)
+    assert s4["version"] == p["main_version"] and s4["live_rows"] >= live
+    assert s4["version"] > r["new_version"]
+    lst = _run(capsys, ["branch", "list", "--table-dir", table])
+    assert lst["branches"].keys() == {"main"} and lst["tags"] == {"golden": t["version"]}
+
 
 def test_cli_rejects_bad_mode(spark):
     with pytest.raises(SystemExit):
