@@ -102,6 +102,8 @@ def cmd_ingest(args) -> int:
         mode=args.mode,
         compact_every=args.compact_every,
         compact_min_files=args.compact_min_files,
+        compact_mode=args.compact_policy,
+        major_every=args.major_every,
         expire_every=args.expire_every,
         keep_snapshots=args.keep_snapshots,
         orphan_grace_sec=args.orphan_grace_sec,
@@ -133,8 +135,9 @@ def cmd_compact(args) -> int:
         table,
         min_files_per_bucket=args.compact_min_files,
         target_rows_per_file=args.rows_per_file,
+        mode=args.compact_mode,
     )
-    _emit({"op": "compact", "table_dir": args.table_dir,
+    _emit({"op": "compact", "table_dir": args.table_dir, "mode": args.compact_mode,
            "files_before": before, "files_after": len(table.files()),
            "final_version": table.version})
     return 0
@@ -339,6 +342,9 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--mode", choices=("cow", "mor"), default="mor")
     i.add_argument("--compact-every", type=int, default=8)
     i.add_argument("--compact-min-files", type=int, default=4)
+    i.add_argument("--compact-policy", choices=("major", "tiered"), default="major",
+                   help="tiered = LSM minors with every --major-every-th a major")
+    i.add_argument("--major-every", type=int, default=8)
     i.add_argument("--expire-every", type=int, default=None)
     i.add_argument("--keep-snapshots", type=int, default=8)
     i.add_argument("--orphan-grace-sec", type=float, default=3600.0)
@@ -354,6 +360,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--table-dir", required=True)
     c.add_argument("--compact-min-files", type=int, default=2)
     c.add_argument("--rows-per-file", type=int, default=2_000_000)
+    c.add_argument("--compact-mode", choices=("major", "minor"), default="major",
+                   help="minor = LSM-style delta-only fold, base untouched")
     c.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("expire", help="expire snapshots + vacuum orphan files")

@@ -182,6 +182,7 @@ class CompactStats:
     rows_after: int
     tombstones_dropped: bool
     snapshot_version: int
+    mode: str = "major"
 
 
 def compact(
@@ -189,15 +190,52 @@ def compact(
     min_files_per_bucket: int = 2,
     tombstone_watermark_lsn: int | None = None,
     target_rows_per_file: int = 2_000_000,
+    mode: str = "major",
 ) -> CompactStats | None:
     """Fold delta files: rewrite every bucket holding >= min_files into
     resolved files. Tombstones are dropped only below the caller's LSN
-    watermark (no earlier event can still arrive)."""
+    watermark (no earlier event can still arrive).
+
+    ``mode`` (LSM-style tiering, the RocksDB/Paimon minor/major analog):
+
+    - ``"major"`` — fold EVERY file of a victim bucket into resolved
+      base files. Read-optimal afterwards, but each major rewrites the
+      whole bucket including its base: at sustained 10^10-event ingest,
+      majors every K batches give write amplification proportional to
+      table size x ingest duration.
+    - ``"minor"`` — leave each victim bucket's LARGEST file (its base)
+      untouched and fold only the delta files into ONE resolved delta.
+      Write cost per minor is O(delta rows), independent of table size;
+      scan-time read amplification stays bounded at 2 files/bucket.
+      Tombstones always survive a minor (the exempt base may still hold
+      the pre-delete row — dropping the tombstone would resurrect it),
+      so ``tombstone_watermark_lsn`` is rejected here; run a periodic
+      major to reclaim tombstones and clear the resolve flag. A victim
+      bucket needs >= max(min_files, 3) files — folding one delta into
+      itself is pure write amplification.
+    """
+    if mode not in ("major", "minor"):
+        raise ValueError(f"unknown compaction mode {mode!r}")
+    if mode == "minor" and tombstone_watermark_lsn is not None:
+        raise ValueError(
+            "tombstone_watermark_lsn requires a major compaction: a minor "
+            "leaves the bucket's base file in place, and dropping a tombstone "
+            "while its pre-delete row survives in the base would resurrect it"
+        )
     cur = table.current()
     by_bucket: dict[int, list] = {}
     for f in table.files(cur):
         by_bucket.setdefault(f.bucket, []).append(f)
-    victims = {b: fs for b, fs in by_bucket.items() if len(fs) >= min_files_per_bucket}
+    if mode == "minor":
+        victims = {}
+        for b, fs in by_bucket.items():
+            if len(fs) < max(min_files_per_bucket, 3):
+                continue
+            # exempt the largest file (the base): minor folds deltas only
+            base = max(fs, key=lambda f: (f.rows, f.path))
+            victims[b] = [f for f in fs if f.path != base.path]
+    else:
+        victims = {b: fs for b, fs in by_bucket.items() if len(fs) >= min_files_per_bucket}
     if not victims:
         return None
     vfiles = [f for fs in victims.values() for f in fs]
@@ -223,15 +261,19 @@ def compact(
     )
     _check_write_consistency(int(obs.get["rows"]), new_files)
 
-    # resolved afterwards iff no bucket outside the victims has deltas
-    leftover_multi = any(
-        len(fs) >= 2 for b, fs in by_bucket.items() if b not in victims
-    )
+    # major: resolved afterwards iff no bucket outside the victims has
+    # deltas; minor: bases and merged deltas still overlap by key
+    if mode == "minor":
+        requires_resolve = True
+    else:
+        requires_resolve = any(
+            len(fs) >= 2 for b, fs in by_bucket.items() if b not in victims
+        )
     snap = table.commit(
         {f.path for f in vfiles},
         new_files,
-        operation="compact",
-        requires_resolve=leftover_multi,
+        operation=f"compact-{mode}",
+        requires_resolve=requires_resolve,
         expected_parent_version=cur["version"],
     )
     return CompactStats(
@@ -242,4 +284,5 @@ def compact(
         rows_after=sum(f.rows for f in new_files),
         tombstones_dropped=tombstone_watermark_lsn is not None,
         snapshot_version=snap["version"],
+        mode=mode,
     )

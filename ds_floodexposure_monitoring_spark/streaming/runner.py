@@ -45,6 +45,8 @@ class CDCPipeline:
         mode: str = "cow",
         compact_every: int = 8,
         compact_min_files: int = 4,
+        compact_mode: str = "major",
+        major_every: int = 8,
         expire_every: int | None = None,
         keep_snapshots: int = 8,
         orphan_grace_sec: float = 3600.0,
@@ -55,6 +57,12 @@ class CDCPipeline:
         optimized); 'mor' appends delta files and resolves at scan
         (write-optimized — the 10^10-scale ingest path), compacting
         every ``compact_every`` batches.
+
+        ``compact_mode``: 'major' folds whole buckets every time;
+        'tiered' runs LSM-style MINOR compactions (deltas only, base
+        untouched — O(delta) writes) with every ``major_every``-th
+        compaction a major — the write-amplification-bounded policy for
+        sustained 10^10-event ingest (operators/compact.py).
 
         ``expire_every``: every N batches, expire snapshots beyond the
         newest ``keep_snapshots`` and vacuum unreferenced data files.
@@ -82,6 +90,10 @@ class CDCPipeline:
         self.mode = mode
         self.compact_every = compact_every
         self.compact_min_files = compact_min_files
+        if compact_mode not in ("major", "tiered"):
+            raise ValueError(f"unknown compact_mode {compact_mode!r}")
+        self.compact_mode = compact_mode
+        self.major_every = major_every
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
         self.orphan_grace_sec = orphan_grace_sec
@@ -151,10 +163,17 @@ class CDCPipeline:
                 if stats.bucket_rows:
                     self._bucket_rows_hint = stats.bucket_rows
             if self.mode == "mor" and batch.batch_seq % self.compact_every == 0:
+                nth = batch.batch_seq // self.compact_every
+                cmode = (
+                    "minor"
+                    if self.compact_mode == "tiered" and nth % self.major_every != 0
+                    else "major"
+                )
                 compact(
                     self.table,
                     min_files_per_bucket=self.compact_min_files,
                     target_rows_per_file=self.target_rows_per_file,
+                    mode=cmode,
                 )
             if self.expire_every and batch.batch_seq % self.expire_every == 0:
                 self.table.expire_snapshots(

@@ -179,7 +179,7 @@ def test_mor_mode_matches_oracle_with_compaction(spark, env):
     assert len(results) >= 3
     # compaction ran at least once (snapshot count > batch count + 1)
     ops = [s["summary"]["operation"] for s in pipe.table.snapshots()]
-    assert "compact" in ops and "merge-append" in ops
+    assert "compact-major" in ops and "merge-append" in ops
     assert engine_state(pipe.table) == oracle_state(changelog)
     # time travel still works across append + compact snapshots
     assert pipe.table.scan(version=2).count() > 0
