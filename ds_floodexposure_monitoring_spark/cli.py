@@ -306,6 +306,25 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_alter(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-alter")
+    table = LakeTable.load(spark, args.table_dir)
+    if args.rename:
+        old, new = args.rename.split(":", 1)
+        snap = table.rename_column(old, new)
+        _emit({"op": "rename-column", "table_dir": args.table_dir,
+               "from": old, "to": new, "new_version": snap["version"]})
+    elif args.drop_column:
+        snap = table.drop_column(args.drop_column)
+        _emit({"op": "drop-column", "table_dir": args.table_dir,
+               "dropped": args.drop_column, "new_version": snap["version"]})
+    else:
+        raise SystemExit("alter: pass --rename old:new or --drop-column name")
+    return 0
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--master", default=None,
                    help="Spark master; omit under spark-submit (cluster provides it)")
@@ -423,6 +442,13 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--keep", action="store_true",
                    help="publish: keep the branch pointer after fast-forward")
     b.set_defaults(fn=cmd_branch)
+
+    al = sub.add_parser("alter", help="metadata-only column rename/drop")
+    _add_common(al)
+    al.add_argument("--table-dir", required=True)
+    al.add_argument("--rename", default=None, metavar="OLD:NEW")
+    al.add_argument("--drop-column", default=None)
+    al.set_defaults(fn=cmd_alter)
     return ap
 
 

@@ -455,6 +455,29 @@ def schema_evolution_merge(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "schema_rename_drop",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_type, value AS amount FROM s
+    """,
+    note="metadata-only column RENAME + DROP (Iceberg ALTER TABLE "
+         "analog): zero file rewrites — a rename-chain record maps every "
+         "pre-rename file's column forward at scan (field-ID-mapping "
+         "analog), and a drop tombstones the name so a later same-name "
+         "re-add can never resurrect pre-drop values; batches written "
+         "after the rename use the new name and merge with old files",
+)
+def schema_rename_drop(spark: SparkSession, sf: str) -> DataFrame:
+    t, _versions = _staged_events_table(spark, sf, "schemaddl")
+    t.rename_column("value", "amount")
+    t.drop_column("ts")
+    return t.scan().select("user_id", "event_type", "amount")
+
+
+@_reg(
     "anti_join_new_keys",
     """
     SELECT c_custkey, c_name FROM customer c

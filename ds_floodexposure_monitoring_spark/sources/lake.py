@@ -382,6 +382,15 @@ class LakeTable:
             stored = self.schema_for_version(sv, snap)
             read_schema = T.StructType(stored.fields + internal_fields)
             df = self.spark.read.schema(read_schema).parquet(*paths)
+            # rename chain (chronological): files written before a
+            # rename/drop carry the old column name; map it forward so
+            # name-based alignment hits the current column (the
+            # Iceberg field-ID-mapping analog). Drops are renames to a
+            # hidden tombstoned name, so a later re-add of the same
+            # name can never resurrect pre-drop values.
+            for r in snap.get("renames", []):
+                if sv < r["at_schema_version"] and r["from"] in df.columns:
+                    df = df.withColumnRenamed(r["from"], r["to"])
             parts.append(
                 align_to_schema(df, target, keep_extra=[LSN_COL, TOMBSTONE_COL, DML_SEQ_COL])
             )
@@ -477,6 +486,7 @@ class LakeTable:
             "stat_cols": old.get("stat_cols", []),
             "schema_version": old["schema_version"],
             "schemas": old["schemas"],
+            "renames": old.get("renames", []),
             "files": old["files"],
             "requires_resolve": old.get("requires_resolve", False),
             "summary": {
@@ -590,6 +600,74 @@ class LakeTable:
         if os.path.exists(p):
             os.remove(p)
 
+    # ---------------------------------------------------------- column DDL
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column rename (Iceberg ``RENAME COLUMN``).
+
+        No file is touched: a rename record enters the snapshot's rename
+        chain, and scans map the old name forward for every file group
+        written before it (the field-ID-mapping analog — see scan()).
+        Batches arriving after the rename must use the NEW name (an old
+        name would schema-evolve in as a fresh column, exactly like
+        Iceberg name mapping without the old alias). Merge keys and stat
+        columns cannot be renamed — every bucket hash and pruning bound
+        in existing metadata was computed under those names."""
+        cur = self.current()
+        schema = self.schema(cur)
+        if old in cur["merge_keys"]:
+            raise ValueError(f"cannot rename merge-key column {old!r}")
+        if old in cur.get("stat_cols", []):
+            raise ValueError(f"cannot rename stat column {old!r}")
+        if old not in schema.fieldNames():
+            raise ValueError(f"no column {old!r} in {schema.fieldNames()}")
+        if new in schema.fieldNames() or new in INTERNAL_COLS:
+            raise ValueError(f"column {new!r} already exists")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return self.commit(
+            set(),
+            [],
+            new_schema=new_schema,
+            operation="rename-column",
+            summary_extra={"from": old, "to": new},
+            expected_parent_version=cur["version"],
+            renames_extra=[
+                {"at_schema_version": cur["schema_version"] + 1, "from": old, "to": new}
+            ],
+        )
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only column drop (Iceberg ``DROP COLUMN``). Existing
+        files keep their bytes (column pruning skips them); the dropped
+        name is renamed to a hidden tombstoned alias in the chain, so
+        re-adding a column with the same name later reads as NULL for
+        pre-drop rows instead of resurrecting old values."""
+        cur = self.current()
+        schema = self.schema(cur)
+        if name in cur["merge_keys"]:
+            raise ValueError(f"cannot drop merge-key column {name!r}")
+        if name in cur.get("stat_cols", []):
+            raise ValueError(f"cannot drop stat column {name!r}")
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r} in {schema.fieldNames()}")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        hidden = f"__dropped_{name}_v{cur['schema_version'] + 1}"
+        return self.commit(
+            set(),
+            [],
+            new_schema=new_schema,
+            operation="drop-column",
+            summary_extra={"dropped": name},
+            expected_parent_version=cur["version"],
+            renames_extra=[
+                {"at_schema_version": cur["schema_version"] + 1, "from": name, "to": hidden}
+            ],
+        )
+
     def rebucket(self, new_n_buckets: int, target_rows_per_file: int = 2_000_000) -> dict:
         """Change the table's bucket count — the partition-evolution
         operation a growing table needs (bucket count scales with the
@@ -640,6 +718,7 @@ class LakeTable:
             "stat_cols": cur.get("stat_cols", []),
             "schema_version": cur["schema_version"],
             "schemas": cur["schemas"],
+            "renames": cur.get("renames", []),
             "files": [f.to_json() for f in new_files],
             "requires_resolve": False,  # rewrite resolves everything
             "summary": {
@@ -792,6 +871,12 @@ class LakeTable:
         def side(snap: dict, version: int, tag: str) -> DataFrame:
             flist = [f for f in self.files(snap) if f.bucket in changed]
             df = self.scan(version=version, include_internal=True, files=flist)
+            # the older side surfaces pre-rename column names; map them
+            # forward through renames committed after it so the diff
+            # compares the same logical column, not null-vs-value
+            for r in new_snap.get("renames", []):
+                if snap["schema_version"] < r["at_schema_version"] and r["from"] in df.columns:
+                    df = df.withColumnRenamed(r["from"], r["to"])
             df = align_to_schema(df, target, keep_extra=[LSN_COL, TOMBSTONE_COL])
             return df.select(
                 *keys,
@@ -851,6 +936,7 @@ class LakeTable:
         summary_extra: dict | None = None,
         requires_resolve: bool | None = None,
         expected_parent_version: int | None = None,
+        renames_extra: list[dict] | None = None,
     ) -> dict:
         """Replace-files commit: untouched files carry over unchanged.
 
@@ -888,6 +974,10 @@ class LakeTable:
             "stat_cols": cur.get("stat_cols", []),
             "schema_version": schema_version,
             "schemas": schemas,
+            # rename chain (Iceberg field-ID mapping analog): applied at
+            # scan to file groups written before each rename so name-based
+            # alignment keeps mapping old files to current columns
+            "renames": cur.get("renames", []) + (renames_extra or []),
             "files": files,
             "requires_resolve": requires_resolve,
             "summary": {
