@@ -287,6 +287,8 @@ def cmd_tag(args) -> int:
 def cmd_branch(args) -> int:
     from .sources.lake import LakeTable
 
+    if args.action != "list" and args.name is None:
+        raise SystemExit(f"branch {args.action} requires --name")
     spark = _spark(args, "cdc-branch")
     table = LakeTable.load(spark, args.table_dir)
     if args.action == "create":

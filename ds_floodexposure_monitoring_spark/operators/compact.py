@@ -203,16 +203,23 @@ def compact(
       whole bucket including its base: at sustained 10^10-event ingest,
       majors every K batches give write amplification proportional to
       table size x ingest duration.
-    - ``"minor"`` — leave each victim bucket's LARGEST file (its base)
-      untouched and fold only the delta files into ONE resolved delta.
-      Write cost per minor is O(delta rows), independent of table size;
-      scan-time read amplification stays bounded at 2 files/bucket.
-      Tombstones always survive a minor (the exempt base may still hold
-      the pre-delete row — dropping the tombstone would resurrect it),
-      so ``tombstone_watermark_lsn`` is rejected here; run a periodic
+    - ``"minor"`` — leave each victim bucket's BASE files untouched and
+      fold only the delta files into ONE resolved delta. Base files are
+      identified by the manifest's ``base`` flag (set when a file was
+      written by a bucket-complete resolve: major compaction, rebucket,
+      replace, COW merge) — NOT by size: a fresh delta batch can be
+      larger than the base, and exempting it instead would fold the
+      real base and break the O(delta-rows) minor write bound. Pre-flag
+      snapshots (no ``base`` field anywhere) fall back to the
+      largest-file heuristic. Write cost per minor is O(delta rows),
+      independent of table size; scan-time read amplification stays
+      bounded at n_bases+1 files/bucket. Tombstones always survive a
+      minor (an exempt base may still hold the pre-delete row —
+      dropping the tombstone would resurrect it), so
+      ``tombstone_watermark_lsn`` is rejected here; run a periodic
       major to reclaim tombstones and clear the resolve flag. A victim
-      bucket needs >= max(min_files, 3) files — folding one delta into
-      itself is pure write amplification.
+      bucket needs >= 2 delta files — folding one delta into itself is
+      pure write amplification.
     """
     if mode not in ("major", "minor"):
         raise ValueError(f"unknown compaction mode {mode!r}")
@@ -227,13 +234,20 @@ def compact(
     for f in table.files(cur):
         by_bucket.setdefault(f.bucket, []).append(f)
     if mode == "minor":
+        flagged_anywhere = any(f.base for fs in by_bucket.values() for f in fs)
         victims = {}
         for b, fs in by_bucket.items():
-            if len(fs) < max(min_files_per_bucket, 3):
+            if flagged_anywhere:
+                deltas = [f for f in fs if not f.base]
+            else:
+                # legacy snapshot written before the base flag existed:
+                # best-effort largest-file heuristic (documented failure
+                # mode: a jumbo delta batch may be exempted instead)
+                base = max(fs, key=lambda f: (f.rows, f.path))
+                deltas = [f for f in fs if f.path != base.path]
+            if len(deltas) < max(min_files_per_bucket - 1, 2):
                 continue
-            # exempt the largest file (the base): minor folds deltas only
-            base = max(fs, key=lambda f: (f.rows, f.path))
-            victims[b] = [f for f in fs if f.path != base.path]
+            victims[b] = deltas
     else:
         victims = {b: fs for b, fs in by_bucket.items() if len(fs) >= min_files_per_bucket}
     if not victims:
@@ -257,7 +271,8 @@ def compact(
     )
     to_write = with_salted_split(df, "b", splits, salt_cols=table.merge_keys)
     new_files = table.write_data_files(
-        to_write, table.schema(cur), cur["schema_version"], sort_by=table.merge_keys
+        to_write, table.schema(cur), cur["schema_version"], sort_by=table.merge_keys,
+        mark_base=(mode == "major"),
     )
     _check_write_consistency(int(obs.get["rows"]), new_files)
 

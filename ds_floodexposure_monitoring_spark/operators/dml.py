@@ -61,11 +61,27 @@ def _alive() -> Column:
     return ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
 
 
-def _plan(table: LakeTable, cond: Column) -> tuple[dict[int, int], int]:
+def _pruned_files(table: LakeTable, condition) -> list | None:
+    """File list for the planning/census scan, stat-pruned when the
+    predicate was given as SQL text (Column objects are opaque — no
+    robust way to read their tree pre-analysis, so they scan all files).
+    Pruning is metadata-only and sound on both COW and MOR snapshots
+    (LakeTable.prune_for_predicate documents the granularity rules)."""
+    if not isinstance(condition, str):
+        return None
+    return table.prune_for_predicate(condition)
+
+
+def _plan(
+    table: LakeTable, cond: Column, files: list | None = None
+) -> tuple[dict[int, int], int]:
     """({bucket holding live matches: match count}, live match count) —
-    one Spark job, ≤ n_buckets rows to the driver."""
+    one Spark job, ≤ n_buckets rows to the driver. ``files`` narrows the
+    census to a stat-pruned file set (predicate-implied; see
+    _pruned_files) so a selective predicate on a stats column reads only
+    the files that can hold matches, not the whole table."""
     rows = (
-        table.scan()
+        table.scan(files=files)
         .where(cond)
         .groupBy(table.bucket_expr().alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -94,7 +110,8 @@ def _rewrite(
     splits = plan_bucket_splits(list(per_bucket.items()), target_rows_per_file)
     to_write = with_salted_split(out, "b", splits, salt_cols=table.merge_keys)
     new_files = table.write_data_files(
-        to_write, table.schema(cur), cur["schema_version"], sort_by=table.merge_keys
+        to_write, table.schema(cur), cur["schema_version"], sort_by=table.merge_keys,
+        mark_base=True,
     )
     _check_write_consistency(int(obs.get["rows"]), new_files)
 
@@ -131,7 +148,7 @@ def delete_where(
     Returns None (no commit) when nothing matches. Tombstone rows are
     preserved verbatim so CDC ordering guards survive the rewrite."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    buckets, matched = _plan(table, cond)
+    buckets, matched = _plan(table, cond, files=_pruned_files(table, condition))
     if not buckets:
         return None
 
@@ -212,7 +229,7 @@ def update_where(
     bad = set(assignments) & set(table.merge_keys)
     if bad:
         raise ValueError(f"cannot UPDATE merge-key columns {sorted(bad)}")
-    buckets, _matched = _plan(table, cond)
+    buckets, _matched = _plan(table, cond, files=_pruned_files(table, condition))
     if not buckets:
         return None
     full = dict(assignments)
@@ -288,11 +305,12 @@ def delete_where_mor(
     rows spread over many buckets; COW ``delete_where`` rewrites every
     touched bucket, this writes only the matches."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    per_bucket, matched = _plan(table, cond)
+    pruned = _pruned_files(table, condition)
+    per_bucket, matched = _plan(table, cond, files=pruned)
     if not per_bucket:
         return None
     hits = (
-        table.scan(include_internal=True)
+        table.scan(include_internal=True, files=pruned)
         .where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         .where(F.coalesce(cond, F.lit(False)))
     )
@@ -318,11 +336,12 @@ def update_where_mor(
     bad = set(assignments) & set(table.merge_keys)
     if bad:
         raise ValueError(f"cannot UPDATE merge-key columns {sorted(bad)}")
-    per_bucket, matched = _plan(table, cond)
+    pruned = _pruned_files(table, condition)
+    per_bucket, matched = _plan(table, cond, files=pruned)
     if not per_bucket:
         return None
     hits = (
-        table.scan(include_internal=True)
+        table.scan(include_internal=True, files=pruned)
         .where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         .where(F.coalesce(cond, F.lit(False)))
     )

@@ -236,7 +236,7 @@ def merge_into(
 
         to_write = resolved.drop("_wsrc", "_n_table", "_n_batch")
         new_files = table.write_data_files(
-            to_write, write_schema, schema_version, pre_partitioned=True
+            to_write, write_schema, schema_version, pre_partitioned=True, mark_base=True
         )
         agg = obs.get
         _check_write_consistency(int(agg["rows"]), new_files)

@@ -14,7 +14,7 @@ Determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -123,10 +123,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     then computed for candidates only. At corpus scale this is the
     difference between the join blowing up quadratically on the hottest
     shingle and staying near-linear: pair generation is driven by RARE
-    shingles, verification cost is O(candidates x doc size)."""
-    docs = _shingle_sets(spark, sf)
-    toks = docs.select("doc_id", F.explode("ws").alias("w"))
-    sizes = docs.select("doc_id", F.size("ws").alias("n"))
+    shingles, verification cost is O(candidates x doc size).
+
+    Set sizes ride the exploded token rows as a 4-byte column instead of
+    living in a per-document side table: the previous shape
+    ``F.broadcast(sizes)``-joined an O(corpus)-row frame — at 10^10 docs
+    that hint ships the whole doc-size table to every executor (or OOMs
+    the build). Now no size join exists anywhere in the plan."""
+    docs = _shingle_sets(spark, sf).withColumn("n", F.size("ws"))
+    toks = docs.select("doc_id", "n", F.explode("ws").alias("w"))
     dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
     prefix_len = F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
     prefix = (
@@ -135,7 +140,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
             "rn",
             F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
         )
-        .join(F.broadcast(sizes), "doc_id")
         .where(F.col("rn") <= prefix_len)
         .select("doc_id", "w")
     )
@@ -146,19 +150,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "w")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "w")
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "w", F.col("n").alias("na"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "w", F.col("n").alias("nb"))
     common = (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "w"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c"), F.min("na").alias("na"), F.min("nb").alias("nb"))
     )
-    sizes_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sizes_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = common.join(F.broadcast(sizes_a), "doc_a").join(F.broadcast(sizes_b), "doc_b")
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return j.where(jac >= JACCARD_T).select(
+    return common.where(jac >= JACCARD_T).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
@@ -340,7 +341,12 @@ def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     component diameter — near-dup clusters are dense (dup groups are
     near-cliques), so this converges in a handful of rounds even at
     corpus scale; the loop stops at the first round with zero label
-    changes and is hard-capped to catch pathological chains."""
+    changes and is hard-capped to catch pathological chains.
+
+    The changed-label count rides the SAME job as the label update via
+    ``df.observe`` on the eager checkpoint (old and new label sit in
+    the same row pre-projection) — one Spark job per round, not a
+    second join-and-count pass over both label sets."""
     pairs = ngram_jaccard_pairs(spark, sf).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").persist()
@@ -357,24 +363,25 @@ def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed"),
+            )
+            .drop("_old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             break
     else:
         raise RuntimeError("neardup_clusters did not converge in 20 rounds")

@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row Arrow batches (default 10k): the task-side parquet
+        # writer (sources/lake._make_task_writer) and every mapInArrow/
+        # pandas-UDF path pay per-batch overhead (IPC framing, per-batch
+        # bucket split); larger batches amortize it at ~tens of MB per
+        # batch of memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 16))
         .config("spark.sql.parquet.filterPushdown", "true")
         # INT96 (the legacy default) carries NO footer min/max stats, which
         # blinds both parquet row-group skipping and the lake manifest's

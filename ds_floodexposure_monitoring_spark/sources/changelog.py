@@ -84,6 +84,7 @@ class ChangelogReader:
     root: str
     max_events_per_batch: int = 1_000_000
     _schema_cache: dict[str, T.StructType] = field(default_factory=dict)
+    _converted: dict[str, T.StructType] = field(default_factory=dict)
 
     # ------------------------------------------------------------ discovery
     def discover(self, offsets: dict[int, int] | None = None) -> list[ChangeFile]:
@@ -129,16 +130,25 @@ class ChangelogReader:
 
     # ------------------------------------------------------------ reading
     def _file_schema(self, path: str) -> T.StructType:
-        """Arrow-footer schema peek (metadata-only, no row reads)."""
+        """Arrow-footer schema peek (metadata-only, no row reads).
+
+        Pure driver-Python: the Arrow schema maps to a Spark StructType
+        with no JVM round-trip. The old shape (an empty
+        ``createDataFrame`` per file to coax the type mapping out of the
+        JVM) cost ~35 ms of py4j per changelog file — ~2.5 s of SERIAL
+        driver time per 64-file micro-batch, the dominant fixed tail
+        capping N→4N scaling efficiency (BENCH/BASELINE.md). Conversion
+        results are cached per distinct schema, so steady-state cost per
+        file is one local footer read (~1 ms)."""
         if path not in self._schema_cache:
             import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
 
             arrow_schema = pq.read_schema(path)
-            self._schema_cache[path] = T.StructType.fromJson(
-                json.loads(
-                    self.spark.createDataFrame([], schema=_arrow_to_ddl(arrow_schema)).schema.json()
-                )
-            )
+            key = str(arrow_schema)
+            if key not in self._converted:
+                self._converted[key] = from_arrow_schema(arrow_schema)
+            self._schema_cache[path] = self._converted[key]
         return self._schema_cache[path]
 
     def read_batch(self, batch: MicroBatch) -> DataFrame:
@@ -173,30 +183,3 @@ class ChangelogReader:
         return out
 
 
-def _arrow_to_ddl(arrow_schema) -> str:
-    """Map an Arrow schema to a Spark DDL string (flat columns only)."""
-    import pyarrow as pa
-
-    mapping = {
-        pa.int8(): "tinyint",
-        pa.int16(): "smallint",
-        pa.int32(): "int",
-        pa.int64(): "bigint",
-        pa.float32(): "float",
-        pa.float64(): "double",
-        pa.string(): "string",
-        pa.large_string(): "string",
-        pa.bool_(): "boolean",
-        pa.date32(): "date",
-        pa.binary(): "binary",
-    }
-    cols = []
-    for f in arrow_schema:
-        if pa.types.is_timestamp(f.type):
-            t = "timestamp"
-        else:
-            t = mapping.get(f.type)
-            if t is None:
-                raise ValueError(f"unsupported arrow type {f.type} for column {f.name}")
-        cols.append(f"{f.name} {t}")
-    return ", ".join(cols)

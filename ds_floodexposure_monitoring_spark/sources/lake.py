@@ -78,6 +78,14 @@ class DataFile:
     # optional per-column (min, max) footer stats for the table's
     # configured stat_cols — drives non-key file skipping (scan_range)
     col_stats: dict | None = None
+    # True when the file was written by a bucket-complete resolve (major
+    # compaction, rebucket, replace, COW merge): minor compaction exempts
+    # exactly these files instead of guessing "the largest file is the
+    # base" — a fresh delta batch larger than the base would otherwise be
+    # exempted in its place and the real base folded, breaking the
+    # O(delta-rows) minor write bound (correctness was never at risk;
+    # requires_resolve stays true)
+    base: bool = False
 
     def to_json(self) -> dict:
         d = {
@@ -90,13 +98,15 @@ class DataFile:
         }
         if self.col_stats:
             d["col_stats"] = self.col_stats
+        if self.base:
+            d["base"] = True
         return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
         return DataFile(
             d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"),
-            d["schema_version"], d.get("col_stats"),
+            d["schema_version"], d.get("col_stats"), d.get("base", False),
         )
 
 
@@ -157,29 +167,259 @@ def _stat_scalar(v):
     return v
 
 
-def _dedupe_task_attempts(paths: list[str]) -> list[str]:
-    """Drop duplicate task-attempt outputs before manifest-building.
+_NO_BOUND = object()  # sentinel: literal/attr not usable for pruning
 
-    Under fileoutputcommitter v2 a task attempt that commits and is then
-    re-executed (stage retry, speculation, lost task result) can leave
-    TWO part files for the same task partition in the same directory —
-    ``part-00007-<uuidA>…`` and ``part-00007-<uuidB>…``. Both hold the
-    identical rows (the write plan is deterministic per partition), so
-    keep exactly one per (directory, part index) — smallest name, for
-    determinism — and delete the extras now rather than leaving them as
-    orphans. Genuine corruption (extra rows NOT explained by a
-    duplicated attempt) still trips the downstream row-count
-    consistency guard (operators/merge._check_write_consistency)."""
-    keep: dict[tuple[str, str], str] = {}
-    for p in sorted(paths):
-        name = os.path.basename(p)
-        part = name.split("-")[1] if name.startswith("part-") else name
-        keep.setdefault((os.path.dirname(p), part), p)
-    kept = set(keep.values())
-    for p in paths:
-        if p not in kept:
-            os.remove(p)
-    return sorted(kept)
+
+def _predicate_bounds(spark, condition_sql: str) -> dict[str, tuple]:
+    """{column: (lo, hi)} interval constraints implied by the predicate.
+
+    Parses ``condition_sql`` with Catalyst's SQL parser (driver-only, no
+    job) and walks the unresolved expression tree over py4j. Only
+    top-level AND-conjuncts of ``col <op> literal`` are read; strict
+    comparisons widen to closed intervals (sound for min/max stats).
+    Literal handling mirrors the manifest's _stat_scalar normalization:
+    timestamps are already epoch microseconds in Catalyst literals,
+    strings compare by code point (= UTF8String binary order for valid
+    UTF-8), ints/floats pass through. Anything else — including date
+    literals, whose manifest stat encoding is not pinned — returns no
+    bound for that conjunct. Failure anywhere yields {} (no pruning)."""
+    try:
+        expr = (
+            spark._jsparkSession.sessionState().sqlParser().parseExpression(condition_sql)
+        )
+    except Exception:
+        return {}
+
+    def lit_value(e):
+        if e.getClass().getSimpleName() != "Literal":
+            return _NO_BOUND
+        v = e.value()
+        if v is None:
+            return _NO_BOUND
+        dt = e.dataType().simpleString()
+        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                  "timestamp", "timestamp_ntz"):
+            return v if isinstance(v, (int, float)) else _NO_BOUND
+        if dt == "string":
+            return str(v)
+        return _NO_BOUND
+
+    def attr_name(e):
+        if e.getClass().getSimpleName() == "UnresolvedAttribute":
+            # nameParts: only bare single-part names (no qualifiers)
+            parts = e.nameParts()
+            return parts.apply(0) if parts.size() == 1 else None
+        return None
+
+    out: dict[str, tuple] = {}
+
+    def add(col: str, lo, hi) -> None:
+        if col in out:
+            plo, phi = out[col]
+            try:
+                lo = plo if lo is None else (lo if plo is None else max(plo, lo))
+                hi = phi if hi is None else (hi if phi is None else min(phi, hi))
+            except TypeError:
+                return
+        out[col] = (lo, hi)
+
+    def leaf(e) -> None:
+        kind = e.getClass().getSimpleName()
+        if kind in ("EqualTo", "LessThan", "LessThanOrEqual", "GreaterThan",
+                    "GreaterThanOrEqual"):
+            l, r = e.left(), e.right()
+            col, v, flip = attr_name(l), lit_value(r), False
+            if col is None or v is _NO_BOUND:
+                col, v, flip = attr_name(r), lit_value(l), True
+            if col is None or v is _NO_BOUND:
+                return
+            if kind == "EqualTo":
+                add(col, v, v)
+            elif kind in ("LessThan", "LessThanOrEqual"):
+                add(col, v, None) if flip else add(col, None, v)
+            else:
+                add(col, None, v) if flip else add(col, v, None)
+        elif kind == "In":
+            col = attr_name(e.value())
+            if col is None:
+                return
+            lst = e.list()
+            vals = [lit_value(lst.apply(i)) for i in range(lst.size())]
+            if vals and all(v is not _NO_BOUND for v in vals):
+                try:
+                    add(col, min(vals), max(vals))
+                except TypeError:
+                    pass
+
+    def conjuncts(e) -> None:
+        if e.getClass().getSimpleName() == "And":
+            conjuncts(e.left())
+            conjuncts(e.right())
+        else:
+            leaf(e)
+
+    try:
+        conjuncts(expr)
+    except Exception:
+        return {}
+    # open-ended sides become +/- infinity equivalents handled by the
+    # caller's comparisons: represent as the other bound where possible
+    return {
+        c: (lo, hi)
+        for c, (lo, hi) in out.items()
+        if not (lo is None and hi is None)
+    }
+
+
+def _make_task_writer(
+    out_dir: str,
+    table_root: str,
+    key0: str,
+    stat_cols: list[str],
+    schema_version: int,
+    rows_per_group: int = 1 << 17,
+):
+    """Build the executor-side parquet writer for ``mapInArrow``.
+
+    Each task writes its partition's rows as one parquet file per bucket
+    it holds and RETURNS the per-file manifest entry (path, rows, min/max
+    key, stat-col bounds) as its task result — the Iceberg-writer
+    pattern where data-file stats ride back in task commit messages.
+    Compared to the old shape (JVM ``df.write.parquet`` + a driver-side
+    glob + footer-read ThreadPool):
+
+    - **No driver I/O proportional to file count.** On object storage at
+      10^10-row scale, per-batch driver footer GETs are the ingest
+      ceiling; here the driver only receives one tiny JSON row per file.
+    - **Exactly-once manifests for free.** Spark returns each
+      partition's result from exactly ONE successful task attempt, so a
+      retried/speculated attempt can never double-enter the manifest —
+      its stray file is unreferenced and vacuumed by expire_snapshots.
+      (The old path needed part-index dedup plus a row-count guard.)
+    - **Stats are exact**, computed streaming over the Arrow batches
+      (nulls skipped, like parquet footer stats). A column with no
+      non-null values gets NULL bounds = conservatively never skipped.
+
+    Arrow batches arrive already exchanged on (bucket, skew-split) and,
+    for compaction, sorted by (b, *merge_keys) — order is preserved, so
+    per-bucket appends keep files key-sorted and row groups tight.
+
+    The closure is deliberately SELF-CONTAINED (its own imports, its own
+    stat normalizer): cloudpickle ships it by value, so the write path
+    works even when the package itself is not importable on the Python
+    workers (e.g. a session launched without --py-files / PYTHONPATH).
+    """
+    drop_cols = ("b", "_split")
+
+    def write_partition(batches):
+        import datetime as _dt
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        _epoch = _dt.datetime(1970, 1, 1)
+
+        def _scal(v):
+            # mirror of lake._stat_scalar (kept inline so the closure has
+            # no module-global references — see docstring)
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return (v - _epoch) // _dt.timedelta(microseconds=1)
+            if isinstance(v, bytes):
+                return v.decode("utf-8")
+            return v
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        attempt = _uuid.uuid4().hex[:8]
+        # bucket -> {writer, path, buf, buf_rows, rows, bounds}
+        state: dict[int, dict] = {}
+
+        def flush(st: dict) -> None:
+            if st["buf_rows"]:
+                st["writer"].write_table(pa.Table.from_batches(st["buf"]))
+                st["buf"], st["buf_rows"] = [], 0
+
+        def update_bounds(st: dict, sub: "pa.RecordBatch") -> None:
+            for c, cur in st["bounds"].items():
+                i = sub.schema.get_field_index(c)
+                if i < 0:
+                    continue
+                try:
+                    mm = pc.min_max(sub.column(i))
+                except pa.ArrowNotImplementedError:
+                    continue  # un-orderable type: bounds stay None
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if lo is None:
+                    continue  # all-null batch: no observation
+                st["bounds"][c] = (
+                    (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+                )
+
+        for batch in batches:
+            names = batch.schema.names
+            keep_idx = [i for i, n in enumerate(names) if n not in drop_cols]
+            b_col = batch.column(names.index("b"))
+            for bv in pc.unique(b_col).to_pylist():
+                sub = batch.filter(pc.equal(b_col, bv))
+                st = state.get(bv)
+                if st is None:
+                    rel_dir = _os.path.join(out_dir, f"b={bv}")
+                    _os.makedirs(_os.path.join(table_root, rel_dir), exist_ok=True)
+                    rel = _os.path.join(rel_dir, f"task-{pid:05d}-{attempt}.parquet")
+                    data_schema = pa.schema([batch.schema.field(i) for i in keep_idx])
+                    st = state[bv] = {
+                        "writer": pq.ParquetWriter(
+                            _os.path.join(table_root, rel), data_schema
+                        ),
+                        "path": rel,
+                        "buf": [],
+                        "buf_rows": 0,
+                        "rows": 0,
+                        "bounds": {c: None for c in [key0] + stat_cols},
+                    }
+                update_bounds(st, sub)
+                st["buf"].append(sub.select(keep_idx))
+                st["buf_rows"] += sub.num_rows
+                st["rows"] += sub.num_rows
+                if st["buf_rows"] >= rows_per_group:
+                    flush(st)
+
+        metas = []
+        for bv, st in sorted(state.items()):
+            flush(st)
+            st["writer"].close()
+            kb = st["bounds"][key0]
+            mn = _scal(kb[0]) if kb else None
+            mx = _scal(kb[1]) if kb else None
+            col_stats = {
+                c: [_scal(st["bounds"][c][0]), _scal(st["bounds"][c][1])]
+                for c in stat_cols
+                if st["bounds"][c] is not None
+            }
+            metas.append(
+                _json.dumps(
+                    {
+                        "path": st["path"],
+                        "bucket": int(bv),
+                        "rows": st["rows"],
+                        "min_key": mn,
+                        "max_key": mx,
+                        "schema_version": schema_version,
+                        "col_stats": col_stats or None,
+                    }
+                )
+            )
+        if metas:
+            yield pa.RecordBatch.from_arrays([pa.array(metas)], names=["meta"])
+
+    return write_partition
 
 
 class LakeTable:
@@ -587,6 +827,18 @@ class LakeTable:
                     f"branch {name!r} (v{target['version']}) does not descend from "
                     f"{self.branch} head v{head['version']}; cannot fast-forward"
                 )
+        # optimistic-concurrency re-check right before the pointer swap:
+        # a commit landing on this branch after current() was read would
+        # otherwise be silently discarded (its snapshot unreferenced and
+        # later vacuumed) — the same expected-parent discipline commit()
+        # applies. The residual window between this read and the write
+        # is the local-FS analog of a catalog CAS retry loop.
+        with open(self._head_file) as f:
+            if int(f.read().strip()) != head["version"]:
+                raise CommitConflictError(
+                    f"{self.branch} advanced past v{head['version']} while "
+                    f"publishing {name!r}; reload and retry"
+                )
         _atomic_write(self._head_file, str(target["version"]))
         self._head = target
         if drop:
@@ -704,7 +956,8 @@ class LakeTable:
         )
         to_write = with_salted_split(out, "b", splits, salt_cols=self.merge_keys)
         new_files = self.write_data_files(
-            to_write, self.schema(cur), cur["schema_version"], sort_by=self.merge_keys
+            to_write, self.schema(cur), cur["schema_version"], sort_by=self.merge_keys,
+            mark_base=True,
         )
         snap = {
             "version": self._next_version(),
@@ -816,6 +1069,72 @@ class LakeTable:
             keep_buckets = {f.bucket for f in files if overlaps(f)}
             return [f for f in files if f.bucket in keep_buckets]
         return [f for f in files if overlaps(f)]
+
+    def prune_for_predicate(
+        self, condition_sql: str, snapshot: dict | None = None
+    ) -> list[DataFile]:
+        """Metadata-only file pruning for an arbitrary SQL predicate.
+
+        The predicate is parsed with Catalyst's own SQL parser and its
+        top-level AND-conjuncts of the shape ``col <op> literal`` (=,
+        <, <=, >, >=, IN) are turned into per-column interval
+        constraints — every other conjunct (OR trees, functions,
+        col-vs-col) is ignored, which only widens the kept set, never
+        narrows it (a dropped conjunct is a dropped NECESSARY
+        condition). Files are then skipped exactly as in
+        ``prune_for_range``:
+
+        - constraints on the FIRST MERGE KEY skip at file granularity
+          on any snapshot (every version of a key carries the same key
+          value, so all of a matching key's versions survive the prune
+          and LWW resolution stays complete);
+        - constraints on ``stat_cols`` skip at file granularity on
+          resolved snapshots and degrade to bucket granularity under
+          merge-on-read (see prune_for_range's LWW-correctness guard).
+
+        Type-incompatible comparisons (e.g. a string bound against an
+        int stat) conservatively keep the file."""
+        snap = snapshot or self.current()
+        files = self.files(snap)
+        bounds = _predicate_bounds(self.spark, condition_sql)
+        if not bounds:
+            return files
+
+        def _overlaps(lo, hi, mn, mx) -> bool:
+            if mn is None or mx is None:
+                return True  # no stats -> never skip
+            try:
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+                return True
+            except TypeError:
+                return True  # incomparable types -> never skip
+
+        key0 = self.merge_keys[0]
+        if key0 in bounds:
+            lo, hi = bounds[key0]
+            files = [f for f in files if _overlaps(lo, hi, f.min_key, f.max_key)]
+        mor = snap.get("requires_resolve", False)
+        for c in snap.get("stat_cols", []):
+            if c not in bounds:
+                continue
+            lo, hi = bounds[c]
+            if mor:
+                keep = {
+                    f.bucket
+                    for f in files
+                    if _overlaps(lo, hi, *((f.col_stats or {}).get(c) or (None, None)))
+                }
+                files = [f for f in files if f.bucket in keep]
+            else:
+                files = [
+                    f
+                    for f in files
+                    if _overlaps(lo, hi, *((f.col_stats or {}).get(c) or (None, None)))
+                ]
+        return files
 
     def scan_range(self, col: str, lo, hi) -> DataFrame:
         """Range read on a non-key stats column (e.g. event time): skip
@@ -992,11 +1311,29 @@ class LakeTable:
         return snap
 
     def committed_batch_ids(self) -> set[str]:
-        """Batch ids of all *retained* snapshots. After expire_snapshots
-        the replay-detection window shrinks to the retention horizon —
-        keep retention >= the checkpoint replay horizon (the checkpoint
-        already bounds how far back a batch can be re-offered)."""
-        return {s["batch_id"] for s in self.snapshots() if s.get("batch_id")}
+        """Batch ids on THIS branch's retained ancestry (parent chain
+        from this head), for exactly-once replay detection.
+
+        Scoped to the ancestry — not all retained snapshots — because a
+        batch ingested to a side branch is NOT in this branch's state: in
+        the failed-audit recovery (ingest to branch, audit fails,
+        drop_branch — which removes only the head pointer, leaving the
+        snapshots retained until expiry), re-running the pipeline
+        against main must re-apply those batches, not silently skip them
+        while the checkpoint advances. After expire_snapshots the window
+        shrinks to the retention horizon — keep retention >= the
+        checkpoint replay horizon (the checkpoint already bounds how far
+        back a batch can be re-offered)."""
+        by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+        out: set[str] = set()
+        seen: set[str] = set()
+        s: dict | None = self.current()
+        while s is not None and s["snapshot_id"] not in seen:
+            seen.add(s["snapshot_id"])
+            if s.get("batch_id"):
+                out.add(s["batch_id"])
+            s = by_id.get(s.get("parent"))
+        return out
 
     # ---------------------------------------------------------- replace sink
     def replace(
@@ -1043,7 +1380,9 @@ class LakeTable:
             obs = Observation()
             out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
             to_write = with_salted_split(out, "b", splits, salt_cols=self.merge_keys)
-            new_files = self.write_data_files(to_write, new_schema, schema_version)
+            new_files = self.write_data_files(
+                to_write, new_schema, schema_version, mark_base=True
+            )
             _check_write_consistency(int(obs.get["rows"]), new_files)
             return self.commit(
                 removed_paths={d["path"] for d in cur["files"]},
@@ -1078,7 +1417,23 @@ class LakeTable:
         cutoff = head_version - keep_last + 1
         # tagged versions and every branch head are protected regardless
         # of age (Iceberg tag/branch retention semantics)
-        protected = set(self.tags().values()) | set(self.branches().values())
+        heads = set(self.branches().values())
+        protected = set(self.tags().values()) | heads
+        # while any side branch exists, protect every head's FULL parent
+        # chain down to the oldest head: publish_branch's fast-forward
+        # walk needs each intermediate branch snapshot between the branch
+        # head and main's head to still exist, and main's head (the fork
+        # floor) is the deepest any such walk can reach — version numbers
+        # are global, so everything on those chains is >= min(heads)
+        if len(heads) > 1:
+            by_id = {s["snapshot_id"]: s for s in snaps}
+            by_version = {s["version"]: s for s in snaps}
+            floor = min(heads)
+            for hv in heads:
+                s = by_version.get(hv)
+                while s is not None and s["version"] >= floor:
+                    protected.add(s["version"])
+                    s = by_id.get(s.get("parent"))
         kept = [s for s in snaps if s["version"] >= cutoff or s["version"] in protected]
         expired = [s for s in snaps if not (s["version"] >= cutoff or s["version"] in protected)]
         referenced = {d["path"] for s in kept for d in s["files"]}
@@ -1118,27 +1473,30 @@ class LakeTable:
         schema_version: int,
         sort_by: list[str] | None = None,
         pre_partitioned: bool = False,
+        mark_base: bool = False,
     ) -> list[DataFile]:
         """Write rows (table-schema columns + _lsn + 'b' bucket + '_split')
         as new parquet data files and return their metadata.
 
         ``_split`` is the skew-splitting column (operators/skew.py): the
         repartition on (b, _split) bounds file size and spreads a hot
-        bucket over several tasks/files. Per-file row counts and min/max
-        merge-key stats come from the parquet FOOTERS (metadata-only, no
-        second scan of the written data — the per-batch job count is part
-        of the fixed cost that caps micro-batch throughput). On a real
-        multi-node deployment these stats ride back in task commit
-        messages, Iceberg-writer style; footer reads are the local-FS
-        equivalent.
+        bucket over several tasks/files. Data files are written by the
+        TASKS via an Arrow parquet writer (``mapInArrow``), and each
+        task returns its files' manifest entries — rows, min/max merge
+        key, stat-col bounds — as its task result (Iceberg-writer style:
+        stats ride back in task commit messages). The driver never
+        lists, globs, or reads footers of what was written; per-batch
+        driver cost is O(1) regardless of file count — on object
+        storage at 10^10-row scale, driver footer reads are otherwise
+        the ingest ceiling (see _make_task_writer).
 
         ``pre_partitioned``: the caller already exchanged the rows on
         (b, _split) (the one-shuffle merge paths, operators/compact.py /
         merge.py) — write task-local, no second shuffle here.
         """
         commit_dir = f"data/c{uuid.uuid4().hex[:12]}"
-        out_dir = os.path.join(self.path, commit_dir)
         key0 = self.merge_keys[0]
+        stat_cols = list(self.current().get("stat_cols", []))
 
         if pre_partitioned:
             to_write = df.drop("_split") if "_split" in df.columns else df
@@ -1147,63 +1505,20 @@ class LakeTable:
         if sort_by:
             # read-optimized files (compaction passes the merge keys):
             # rows sorted by key within each file give tight per-row-
-            # group min/max footer stats, so point lookups prune at
-            # row-group granularity, not just file granularity. The hot
-            # ingest path skips this — deltas stay write-fast.
+            # group min/max stats, so point lookups prune at row-group
+            # granularity, not just file granularity. The hot ingest
+            # path skips this — deltas stay write-fast.
             to_write = to_write.sortWithinPartitions("b", *sort_by)
-        (
-            to_write.write.mode("overwrite")
-            .partitionBy("b")
-            .parquet(out_dir)
-        )
 
-        import glob as _glob
-        from concurrent.futures import ThreadPoolExecutor
+        metas = to_write.mapInArrow(
+            _make_task_writer(commit_dir, self.path, key0, stat_cols, schema_version),
+            schema="meta string",
+        ).collect()
+        files = [DataFile.from_json(json.loads(r["meta"])) for r in metas]
+        if mark_base:
+            # caller performed a bucket-complete resolve: flag the files
+            # so minor compaction exempts exactly them (DataFile.base)
+            import dataclasses as _dc
 
-        import pyarrow.parquet as pq
-
-        stat_cols = self.current().get("stat_cols", [])
-
-        def _col_minmax(md, name: str):
-            ix = next(
-                (i for i in range(md.num_columns) if md.schema.column(i).name == name),
-                None,
-            )
-            if ix is None:
-                return None
-            mn = mx = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ix).statistics
-                if st is None or not st.has_min_max:
-                    return None  # no bounds -> file can never be skipped
-                mn = st.min if mn is None else min(mn, st.min)
-                mx = st.max if mx is None else max(mx, st.max)
-            return mn, mx
-
-        def _stat(fpath: str) -> DataFile | None:
-            md = pq.ParquetFile(fpath).metadata
-            if md.num_rows == 0:
-                os.remove(fpath)
-                return None
-            bounds = _col_minmax(md, key0)
-            mn, mx = bounds if bounds else (None, None)
-            if isinstance(mn, bytes):
-                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
-            col_stats = None
-            if stat_cols:
-                col_stats = {}
-                for c in stat_cols:
-                    b = _col_minmax(md, c)
-                    if b is not None:
-                        col_stats[c] = [_stat_scalar(b[0]), _stat_scalar(b[1])]
-            rel = os.path.relpath(fpath, self.path)
-            bucket = int(rel.split("b=")[1].split("/")[0])
-            return DataFile(rel, bucket, md.num_rows, mn, mx, schema_version, col_stats or None)
-
-        paths = _dedupe_task_attempts(
-            _glob.glob(os.path.join(out_dir, "b=*", "*.parquet"))
-        )
-        if not paths:
-            return []
-        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
-            return [f for f in ex.map(_stat, paths) if f is not None]
+            files = [_dc.replace(f, base=True) for f in files]
+        return files

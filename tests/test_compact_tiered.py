@@ -171,3 +171,39 @@ def test_pipeline_tiered_policy(spark, tmpdir_path):
     """).fetchall()
     got = sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
     assert got == [tuple(w) for w in want]
+
+
+def test_minor_exempts_flagged_base_not_jumbo_delta(spark, tmpdir_path):
+    """ADVICE r2: a delta batch LARGER than the base must still be
+    folded by a minor — base exemption keys off the manifest's ``base``
+    flag (set by majors/COW resolves), not file size."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "jumbo"), transcript_schema(), n_buckets=2
+    )
+    merge_append(t, _batch(spark, 0, 60), batch_id="seed")
+    compact(t, min_files_per_bucket=1)  # major -> flagged base files
+    base_paths = {f.path for f in t.files()}
+    assert all(f.base for f in t.files())
+    # jumbo delta (bigger than the base) + two small deltas
+    merge_append(t, _batch(spark, 1000, 300, text="jumbo"), batch_id="jumbo")
+    merge_append(t, _batch(spark, 2000, 20, text="s1"), batch_id="s1")
+    merge_append(t, _batch(spark, 3000, 20, text="s2"), batch_id="s2")
+    want = _state(t)
+    st = compact(t, min_files_per_bucket=3, mode="minor")
+    assert st is not None
+    after = {f.path for f in t.files()}
+    # the flagged bases survived; the jumbo delta did NOT (it was folded)
+    assert base_paths <= after
+    by_bucket = {}
+    for f in t.files():
+        by_bucket.setdefault(f.bucket, []).append(f)
+    for fs in by_bucket.values():
+        assert len(fs) == 2
+        flags = sorted(f.base for f in fs)
+        assert flags == [False, True]  # one base + one folded delta
+    assert _state(t) == want
+
+
+def test_major_marks_outputs_as_base(spark, table):
+    compact(table, min_files_per_bucket=1, mode="major")
+    assert table.files() and all(f.base for f in table.files())

@@ -122,3 +122,65 @@ def test_delete_then_reinsert_via_cdc(spark, table):
         batch_id="reinsert",
     )
     assert ("c5", 0, "back") in _texts(table)
+
+
+def test_predicate_bounds_extraction(spark):
+    from ds_floodexposure_monitoring_spark.sources.lake import _predicate_bounds
+
+    b = _predicate_bounds(spark, "conv_id = 'c3'")
+    assert b == {"conv_id": ("c3", "c3")}
+    b = _predicate_bounds(spark, "turn_idx >= 3 AND turn_idx < 7 AND conv_id = 'x'")
+    assert b["turn_idx"] == (3, 7) and b["conv_id"] == ("x", "x")
+    b = _predicate_bounds(
+        spark, "ts >= timestamp'2024-01-02 00:00:00' AND length(text) > 2"
+    )
+    # timestamp bound in epoch micros; the function conjunct is ignored
+    assert b == {"ts": (1704153600000000, None)}
+    b = _predicate_bounds(spark, "turn_idx IN (5, 2, 9)")
+    assert b == {"turn_idx": (2, 9)}
+    # OR at top level: no necessary per-column condition -> no pruning
+    assert _predicate_bounds(spark, "turn_idx = 1 OR conv_id = 'a'") == {}
+    # unparseable -> no pruning, no raise
+    assert _predicate_bounds(spark, "this is (not sql") == {}
+    # literal-vs-literal and col-vs-col conjuncts are ignored
+    assert _predicate_bounds(spark, "turn_idx = other_col") == {}
+
+
+def test_dml_stat_pruned_planning(spark, tmpdir_path):
+    """A SQL-text predicate on a stat_cols column plans over a pruned
+    file subset: the census scan opens fewer files than the table holds,
+    and results are identical to the unpruned path."""
+    from ds_floodexposure_monitoring_spark.operators.dml import delete_where_mor
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "p"), transcript_schema(),
+        n_buckets=4, stat_cols=("ts",),
+    )
+    # three COW merges with disjoint ts ranges -> files with disjoint stats
+    import datetime as dt
+
+    for day in (1, 2, 3):
+        rows = [
+            (day * 1000 + i, f"c{day}-{i % 5}", i, "user", f"d{day}-{i}", None,
+             dt.datetime(2024, 1, day, i % 24))
+            for i in range(50)
+        ]
+        merge_into(t, spark.createDataFrame(rows, DDL), batch_id=f"d{day}")
+
+    cond = "ts >= timestamp'2024-01-03 00:00:00'"
+    pruned = t.prune_for_predicate(cond)
+    all_files = t.files()
+    assert len(pruned) < len(all_files), (len(pruned), len(all_files))
+    # pruned set must still hold every actual match
+    assert t.scan(files=pruned).where(cond).count() == t.scan().where(cond).count()
+
+    before = t.scan().where(f"NOT ({cond})").count()
+    st = delete_where(t, cond)
+    assert st is not None and st.rows_matched == 50
+    assert t.scan().count() == before
+
+    # MOR path: correction deltas built from the pruned scan too
+    st2 = delete_where_mor(t, "ts >= timestamp'2024-01-02 00:00:00'")
+    assert st2 is not None and st2.rows_matched == 50
+    assert t.scan().count() == 50
+    assert {r.conv_id.split("-")[0] for r in t.scan().select("conv_id").collect()} == {"c1"}

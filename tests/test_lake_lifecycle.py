@@ -255,26 +255,3 @@ def test_compaction_sorts_files_by_merge_key(spark, tmpdir_path):
         assert pairs == sorted(pairs), f"{rel} not key-sorted"
 
 
-def test_dedupe_task_attempts(tmpdir_path):
-    """Duplicate task-attempt part files (committer v2 stage retry) are
-    healed by keeping one file per (dir, part index)."""
-    from ds_floodexposure_monitoring_spark.sources.lake import _dedupe_task_attempts
-
-    d1 = os.path.join(tmpdir_path, "b=0")
-    d2 = os.path.join(tmpdir_path, "b=1")
-    os.makedirs(d1), os.makedirs(d2)
-    names = [
-        (d1, "part-00007-aaaa-c000.snappy.parquet"),
-        (d1, "part-00007-bbbb-c000.snappy.parquet"),  # retry duplicate
-        (d1, "part-00003-cccc-c000.snappy.parquet"),
-        (d2, "part-00007-dddd-c000.snappy.parquet"),  # same index, other dir: kept
-    ]
-    paths = []
-    for d, n in names:
-        p = os.path.join(d, n)
-        open(p, "w").write("x")
-        paths.append(p)
-    kept = _dedupe_task_attempts(list(paths))
-    assert kept == sorted([paths[0], paths[2], paths[3]])
-    assert not os.path.exists(paths[1])  # extra attempt physically removed
-    assert os.path.exists(paths[3])

@@ -160,3 +160,18 @@ def test_merge_paths_single_exchange(spark, tmp_path):
         shuffles = [m for m in re.findall(r"\(\d+\) (BroadcastExchange|Exchange)", p) if m == "Exchange"]
         assert len(shuffles) == 1, p
         assert "hashpartitioning(b" in p
+
+
+def test_ngram_jaccard_no_per_document_broadcast(spark):
+    """No O(corpus) side may be hint-broadcast in the exact-Jaccard
+    plan: a forced broadcast of a per-document frame (the old
+    F.broadcast(sizes) shape) ships one row per document to every
+    executor — an OOM at 10^10 docs. Set sizes ride the exploded token
+    rows instead, so the logical plan must carry NO broadcast hint at
+    all (a runtime AQE broadcast decided from actual sizes is fine and
+    is not a hint)."""
+    from ds_floodexposure_monitoring_spark.plans import REGISTRY
+
+    df = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical

@@ -153,3 +153,66 @@ def test_pipeline_wap_flow(spark, tmpdir_path):
     t.publish_branch("ingest")
     got = sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
     assert got == want
+
+
+def test_publish_after_expiry_of_intermediate_branch_snapshots(spark, table):
+    """ADVICE r2: expire_snapshots during branch ingest must not break a
+    later publish — every snapshot on the branch's ancestry back to
+    main's head (the fork floor) stays protected while the branch
+    exists, so the fast-forward walk always completes."""
+    audit = table.create_branch("audit")
+    for i in range(4):
+        merge_append(audit, _batch(spark, 1000 * (i + 1), 20, text="staged"),
+                     batch_id=f"staged{i}")
+        audit.expire_snapshots(keep_last=1)  # --expire-every during ingest
+    snap = table.publish_branch("audit")
+    assert table.version == snap["version"]
+    assert table.scan().where(F.col("text").startswith("staged")).count() == 80
+
+
+def test_dropped_branch_batches_replay_onto_main(spark, table):
+    """ADVICE r2: replay detection is scoped to the branch's ancestry.
+    After a failed-audit recovery (ingest to branch, drop_branch), the
+    same batch ids must re-apply to MAIN — not be silently skipped
+    because the branch's retained snapshots still carry them."""
+    audit = table.create_branch("audit")
+    merge_append(audit, _batch(spark, 1000, 30, text="staged"), batch_id="bx")
+    assert "bx" in audit.committed_batch_ids()
+    assert "bx" not in table.committed_batch_ids()  # main's ancestry only
+    table.drop_branch("audit")
+    # re-ingest the same batch id against main: applies, not skipped
+    merge_append(table, _batch(spark, 1000, 30, text="recovered"), batch_id="bx")
+    assert "bx" in table.committed_batch_ids()
+    assert table.scan().where(F.col("text").startswith("recovered")).count() == 30
+
+
+def test_publish_cas_rejects_concurrent_main_commit(spark, table):
+    """ADVICE r2: publish re-validates main's head right before the
+    pointer swap — a commit that landed on main after the ancestry check
+    must fail the publish instead of being silently discarded."""
+    audit = table.create_branch("audit")
+    merge_append(audit, _batch(spark, 1000, 10, text="staged"), batch_id="s1")
+
+    real_current = LakeTable.current
+
+    state = {"raced": False}
+
+    def racing_current(self):
+        snap = real_current(self)
+        # after publish reads main's head once, land a mainline commit
+        if self is table and not state["raced"]:
+            state["raced"] = True
+            mainline = LakeTable.load(self.spark, self.path)
+            merge_append(mainline, _batch(self.spark, 9000, 5, text="race"),
+                         batch_id="race")
+        return snap
+
+    LakeTable.current = racing_current
+    try:
+        with pytest.raises(CommitConflictError):
+            table.publish_branch("audit")
+    finally:
+        LakeTable.current = real_current
+    # the racing commit survived; main never lost it
+    fresh = LakeTable.load(spark, table.path)
+    assert fresh.scan().where(F.col("text").startswith("race")).count() == 5
