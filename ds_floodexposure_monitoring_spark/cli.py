@@ -88,6 +88,9 @@ def cmd_ingest(args) -> int:
             spark, args.table_dir, schema,
             merge_keys=tuple(args.merge_keys.split(",")),
             n_buckets=args.n_buckets,
+            stat_cols=tuple(c for c in args.stat_cols.split(",") if c)
+            if args.stat_cols else (),
+            partition_by=args.partition_by,
         )
     if args.branch:
         table = table.on_branch(args.branch)
@@ -152,6 +155,28 @@ def cmd_expire(args) -> int:
         keep_last=args.keep_snapshots, orphan_grace_sec=args.orphan_grace_sec
     )
     _emit({"op": "expire", "table_dir": args.table_dir, **res})
+    return 0
+
+
+def cmd_drop_partitions(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-drop-partitions")
+    table = LakeTable.load(spark, args.table_dir)
+    import datetime as dt
+
+    try:
+        before = dt.datetime.fromisoformat(args.before)
+    except ValueError:
+        before = args.before  # identity partition value
+    snap = table.drop_partitions(before)
+    _emit({
+        "op": "drop-partitions", "table_dir": args.table_dir,
+        "before": args.before,
+        "dropped": snap["summary"]["partitions_dropped"] if snap else [],
+        "rows_dropped": snap["summary"]["rows_dropped"] if snap else 0,
+        "final_version": table.version,
+    })
     return 0
 
 
@@ -358,6 +383,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="StructType JSON file for table create (default: transcript schema)")
     i.add_argument("--merge-keys", default="conv_id,turn_idx")
     i.add_argument("--n-buckets", type=int, default=64)
+    i.add_argument("--stat-cols", default=None,
+                   help="comma-separated non-key columns to keep per-file min/max stats for")
+    i.add_argument("--partition-by", default=None,
+                   help="value-partition transform, e.g. days(ts) (Iceberg partition-spec analog)")
     i.add_argument("--batch-events", type=int, default=1_000_000)
     i.add_argument("--rows-per-file", type=int, default=2_000_000)
     i.add_argument("--mode", choices=("cow", "mor"), default="mor")
@@ -444,6 +473,14 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--keep", action="store_true",
                    help="publish: keep the branch pointer after fast-forward")
     b.set_defaults(fn=cmd_branch)
+
+    dp = sub.add_parser("drop-partitions",
+                        help="metadata-only retention drop of value partitions below a cutoff")
+    dp.add_argument("--table-dir", required=True)
+    dp.add_argument("--before", required=True,
+                    help="ISO datetime (time transforms) or raw value (identity)")
+    _add_common(dp)
+    dp.set_defaults(fn=cmd_drop_partitions)
 
     al = sub.add_parser("alter", help="metadata-only column rename/drop")
     _add_common(al)

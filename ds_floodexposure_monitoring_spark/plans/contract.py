@@ -105,7 +105,10 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
     return t.scan().select("user_id", "event_type", "value", "ts")
 
 
-def _staged_events_table(spark: SparkSession, sf: str, tag: str, stat_cols: tuple = ()):
+def _staged_events_table(
+    spark: SparkSession, sf: str, tag: str, stat_cols: tuple = (),
+    partition_by: str | None = None,
+):
     """Build a MOR lake table from `events` in 3 LSN-ordered batches
     (thirds of event_id), returning (table, [version after each batch]).
     Shared scaffold for the change-feed / time-travel / incremental-rollup
@@ -127,7 +130,7 @@ def _staged_events_table(spark: SparkSession, sf: str, tag: str, stat_cols: tupl
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(
         spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
-        n_buckets=8, stat_cols=stat_cols,
+        n_buckets=8, stat_cols=stat_cols, partition_by=partition_by,
     )
     hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
     cuts = [hi // 3, 2 * hi // 3, hi]
@@ -259,12 +262,13 @@ def incremental_rollup_refresh(spark: SparkSession, sf: str) -> DataFrame:
     SELECT s.user_id, s.event_type, s.value, s.ts FROM s, b
     WHERE s.ts BETWEEN b.lo AND b.hi
     """,
-    note="non-key file skipping: per-file (min,max) footer stats on a "
+    note="non-key file skipping: per-file (min,max) stats on a "
          "configured stat column (ts) live in the snapshot manifest; a "
          "time-bounded read opens only overlapping files on resolved "
-         "snapshots and degrades to bucket-complete pruning on MOR "
-         "snapshots so unresolved deltas can never resurrect stale "
-         "versions (LakeTable.scan_range)",
+         "snapshots, and on MOR snapshots the overlapping set is closed "
+         "under same-bucket key-range overlap so unresolved deltas can "
+         "never resurrect stale versions (LakeTable.scan_range + "
+         "_key_closure)",
 )
 def timerange_scan(spark: SparkSession, sf: str) -> DataFrame:
     """3 MOR batches with ts file stats, then a 10-day time-bounded
@@ -275,6 +279,80 @@ def timerange_scan(spark: SparkSession, sf: str) -> DataFrame:
     mn = table(spark, sf, "events").agg(F.min("ts")).collect()[0][0]
     lo, hi = mn + dt.timedelta(days=10), mn + dt.timedelta(days=20)
     return t.scan_range("ts", lo, hi).select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
+    "partition_pruned_scan",
+    """
+    WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,
+                      min(ts) + INTERVAL 20 DAY AS hi FROM events),
+    s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT s.user_id, s.event_type, s.value, s.ts FROM s, b
+    WHERE s.ts BETWEEN b.lo AND b.hi
+    """,
+    note="Iceberg partition-spec value partitioning (days(ts)) layered "
+         "inside the hash buckets: writers split data files by exact "
+         "partition value, a time-bounded read prunes files by partition "
+         "(no stats envelope), and on MOR snapshots the pruned set is "
+         "closed under same-bucket key-range overlap so LWW resolution "
+         "stays exact (LakeTable.prune_for_range/_key_closure) — the "
+         "engine analog of the reference's {iso3}/{date} blob layout "
+         "(src/datasources/floodscan.py:346-352)",
+)
+def partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """3 MOR batches into a days(ts)-partitioned table, then the same
+    10-day bounded read as timerange_scan — served by partition values
+    instead of min/max stats."""
+    import datetime as dt
+
+    t, _versions = _staged_events_table(
+        spark, sf, "partscan", partition_by="days(ts)"
+    )
+    mn = table(spark, sf, "events").agg(F.min("ts")).collect()[0][0]
+    lo, hi = mn + dt.timedelta(days=10), mn + dt.timedelta(days=20)
+    return t.scan_range("ts", lo, hi).select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
+    "partition_retention_drop",
+    """
+    WITH c AS (SELECT date_trunc('day', min(ts) + INTERVAL 15 DAY) AS cutoff
+               FROM events),
+    s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT s.user_id, s.event_type, s.value, s.ts FROM s, c
+    WHERE date_trunc('day', s.ts) >= c.cutoff
+    """,
+    note="metadata-only retention drop: drop_partitions removes every "
+         "data file whose days(ts) partition is below the cutoff by "
+         "dropping manifest references — zero rows read or written, the "
+         "cheap retention path value partitioning exists for at 100 TB; "
+         "refused on unresolved MOR snapshots (stale-version "
+         "resurrection), so the query majors-compacts first",
+)
+def partition_retention_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """3 MOR batches into a days(ts)-partitioned table, major-compact to
+    a resolved snapshot, then drop all partitions older than 15 days
+    past the corpus start and return the surviving live state."""
+    import datetime as dt
+
+    from ..operators.compact import compact
+
+    t, _versions = _staged_events_table(
+        spark, sf, "partdrop", partition_by="days(ts)"
+    )
+    compact(t, min_files_per_bucket=1)  # resolve -> drop is exact
+    mn = table(spark, sf, "events").agg(F.min("ts")).collect()[0][0]
+    cutoff = (mn + dt.timedelta(days=15)).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    t.drop_partitions(cutoff)
+    return t.scan().select("user_id", "event_type", "value", "ts")
 
 
 @_reg(
@@ -909,12 +987,14 @@ def grid_multiply(spark: SparkSession, sf: str) -> DataFrame:
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mth,
            CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(make_date(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), 1, 1)
+             + CAST((dayofyear(o_orderdate) - 1) AS INT) AS TIMESTAMP) AS doy_date,
            ROUND(o_totalprice / 7, 3) AS price_div,
            coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_coalesced,
            CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
     FROM orders WHERE o_orderkey % 97 = 0
     """,
-    note="scalar function battery: filename format+parse, date parts, coalesce, round, explicit floor-cast (§2.8; floodscan.py:97-100,:346-362; codab.py:18-23)",
+    note="scalar function battery: filename format+parse, date parts INCLUDING dayofyear->date back-conversion (pd.to_datetime(format='%j') analog, exposure_plotting.md:119), coalesce, round, explicit floor-cast (§2.8; floodscan.py:97-100,:346-362; codab.py:18-23)",
 )
 def scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders").where(F.col("o_orderkey") % 97 == 0)
@@ -930,6 +1010,12 @@ def scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mth"),
         F.dayofyear("o_orderdate").alias("doy"),
+        # dayofyear -> date back-conversion (the reference's
+        # pd.to_datetime(doy, format="%j"): Jan 1 of the year + (doy-1))
+        F.date_add(
+            F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)),
+            F.dayofyear("o_orderdate") - 1,
+        ).cast("timestamp").alias("doy_date"),
         F.round(F.col("o_totalprice") / 7, 3).alias("price_div"),
         F.coalesce(
             F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
@@ -1270,9 +1356,42 @@ def collect_qualifying_years(spark: SparkSession, sf: str) -> DataFrame:
              AS transcript
     FROM events GROUP BY user_id
     """,
-    note="grouped applyInPandas (SURVEY §2.10): per-conversation transcript assembly — turns sorted by time into one training-example row; the one UDF family with no pure-Window equivalent (per-group variable-length string concat in order)",
+    note="per-conversation transcript assembly — turns sorted by time into one training-example row, PURE JVM: collect_list(struct) + array_sort + transform + array_join stay inside codegen, one map-side-combined agg, no Python in the hot path (VERDICT r2: the applyInPandas shape this replaces is kept as transcript_assembly_arrow for the §2.10 surface)",
 )
 def transcript_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """One hash agg: collect each conversation's (ts, event_id, type)
+    structs (map-side partials), array_sort orders by the struct fields
+    — (ts, event_id) is the stable turn order — and transform+array_join
+    renders the training-example string. All JVM expression work: no
+    Arrow transfer, no per-group Python."""
+    ev = table(spark, sf, "events").select("user_id", "event_id", "event_type", "ts")
+    turns = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    render = F.array_join(
+        F.transform(
+            turns,
+            lambda x: F.concat_ws(":", x["event_type"], x["event_id"].cast("string")),
+        ),
+        "|",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_turns"), render.alias("transcript")
+    )
+
+
+@_reg(
+    "transcript_assembly_arrow",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           string_agg(event_type || ':' || CAST(event_id AS VARCHAR), '|' ORDER BY ts, event_id)
+             AS transcript
+    FROM events GROUP BY user_id
+    """,
+    note="grouped applyInPandas (SURVEY §2.10): the same transcript assembly through the Arrow grouped-UDF path — the primitive for per-group logic that ISN'T expressible as JVM expressions (tokenize-and-truncate, template rendering); kept alongside the pure-JVM transcript_assembly as the §2.10 surface",
+)
+def transcript_assembly_arrow(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-grouped assembly: each group (one conversation) arrives as a
     single pandas frame, is sorted by the stable turn order and joined
     into one training-example string. A group is one conversation —

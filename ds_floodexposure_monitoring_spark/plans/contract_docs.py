@@ -235,28 +235,15 @@ _MINHASH_SQL = f"""
 """
 
 
-@_reg(
-    "minhash_lsh_pairs",
-    _MINHASH_SQL,
-    note="MinHash+LSH near-dup over word 3-shingles: shingle→minhash→band→bucket-join→exact verify; md5-based 60-bit hash family gives an exact DuckDB oracle (same minhashes, same bands, same pairs)",
-)
-def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def _minhash_pairs_plan(spark: SparkSession, sf: str, hash_fn) -> DataFrame:
+    """Shared MinHash+LSH physical plan; ``hash_fn(i)`` supplies the
+    i-th hash family member over column ``w`` (md5 halves for the
+    oracle-exact query, xxhash64 for the production variant — the plan
+    shape, bands, and exact verification are identical)."""
     docs = _shingle_sets(spark, sf)
     toks = docs.select("doc_id", F.explode("ws").alias("w"))
-    # 32 independent min-hashes as one agg pass (map-side combine).
-    # Each md5 digest yields TWO independent 60-bit hashes (hex halves);
-    # the digests are INLINED into the aggregate expressions (a separate
-    # projection materializing 16 hex strings per token row measured 2x
-    # slower — wide partial-agg input rows) and codegen's common-
-    # subexpression elimination shares each digest across its two
-    # halves. Hashes stay fixed-length hex strings — min/equality
-    # identical to the integers, no per-value conv.
-    def _half(i: int) -> F.Column:
-        digest = F.md5(F.encode(F.concat(F.col("w"), F.lit(f"|{i // 2}")), "UTF-8"))
-        return F.substring(digest, 1 if i % 2 == 0 else 17, 15)
-
     mh = toks.groupBy("doc_id").agg(
-        *[F.min(_half(i)).alias(f"h{i}") for i in range(N_MINHASH)]
+        *[F.min(hash_fn(i)).alias(f"h{i}") for i in range(N_MINHASH)]
     )
     # band key = the band's minhash TUPLE (exact equality, no re-hash)
     bands = mh.select(
@@ -299,6 +286,47 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     jac = inter.cast("double") / uni
     return v.where(jac >= JACCARD_T).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@_reg(
+    "minhash_lsh_pairs",
+    _MINHASH_SQL,
+    note="MinHash+LSH near-dup over word 3-shingles: shingle→minhash→band→bucket-join→exact verify; md5-based 60-bit hash family gives an exact DuckDB oracle (same minhashes, same bands, same pairs)",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # 32 independent min-hashes as one agg pass (map-side combine).
+    # Each md5 digest yields TWO independent 60-bit hashes (hex halves);
+    # the digests are INLINED into the aggregate expressions (a separate
+    # projection materializing 16 hex strings per token row measured 2x
+    # slower — wide partial-agg input rows) and codegen's common-
+    # subexpression elimination shares each digest across its two
+    # halves. Hashes stay fixed-length hex strings — min/equality
+    # identical to the integers, no per-value conv.
+    def _half(i: int) -> F.Column:
+        digest = F.md5(F.encode(F.concat(F.col("w"), F.lit(f"|{i // 2}")), "UTF-8"))
+        return F.substring(digest, 1 if i % 2 == 0 else 17, 15)
+
+    return _minhash_pairs_plan(spark, sf, _half)
+
+
+@_reg(
+    "minhash_lsh_pairs_xxh",
+    _JACCARD_SQL,
+    note="PRODUCTION-hash MinHash+LSH: the exact same plan as "
+         "minhash_lsh_pairs with xxhash64(w, i) as the hash family — "
+         "JVM-native, ~3x cheaper per hash than the md5 family at "
+         "N_MINHASH x shingles calls, the variant a 100 TB deployment "
+         "runs. Verification is exact Jaccard on candidates, so every "
+         "returned pair is true; the oracle is the exact all-pairs "
+         "answer, which matches because 16-band recall at t=0.55 "
+         "(miss prob (1-j^2)^16 per pair) is empirically 100% on this "
+         "corpus — property-tested against ngram_jaccard_pairs in "
+         "tests/test_docs_pipeline.py",
+)
+def minhash_lsh_pairs_xxh(spark: SparkSession, sf: str) -> DataFrame:
+    return _minhash_pairs_plan(
+        spark, sf, lambda i: F.xxhash64(F.col("w"), F.lit(i))
     )
 
 

@@ -86,6 +86,12 @@ class DataFile:
     # O(delta-rows) minor write bound (correctness was never at risk;
     # requires_resolve stays true)
     base: bool = False
+    # value-partition tuple member (Iceberg partition-spec analog): the
+    # table's partition transform (e.g. days(ts)) evaluated over this
+    # file's rows — EXACT, every row in the file shares it (the writer
+    # splits output by partition value), unlike col_stats' min/max
+    # envelope. None on unpartitioned tables / pre-spec files.
+    part: int | str | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -100,6 +106,8 @@ class DataFile:
             d["col_stats"] = self.col_stats
         if self.base:
             d["base"] = True
+        if self.part is not None:
+            d["part"] = self.part
         return d
 
     @staticmethod
@@ -107,6 +115,7 @@ class DataFile:
         return DataFile(
             d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"),
             d["schema_version"], d.get("col_stats"), d.get("base", False),
+            d.get("part"),
         )
 
 
@@ -167,6 +176,113 @@ def _stat_scalar(v):
     return v
 
 
+_PARTITION_TRANSFORMS = ("identity", "hours", "days", "months", "years")
+
+
+def _parse_partition_spec(spec: str) -> dict:
+    """``"days(ts)"`` → ``{"transform": "days", "col": "ts"}`` (Iceberg
+    partition-spec transform syntax; a bare column name is identity)."""
+    s = spec.strip()
+    if "(" not in s:
+        return {"transform": "identity", "col": s}
+    name, rest = s.split("(", 1)
+    col = rest.rstrip(")").strip()
+    name = name.strip()
+    if name not in _PARTITION_TRANSFORMS or not col:
+        raise ValueError(
+            f"unsupported partition spec {spec!r}; use one of "
+            f"{[t + '(col)' for t in _PARTITION_TRANSFORMS]}"
+        )
+    return {"transform": name, "col": col}
+
+
+def _partition_transform_expr(spec: dict) -> F.Column:
+    """The partition value as a Spark column (Iceberg transform
+    semantics, epoch-anchored): days(ts) = days since 1970-01-01 (UTC),
+    hours/months/years analogous, identity = the raw value. Exact
+    integer arithmetic — (micros − pmod) / unit is integral and below
+    2^53, so the double division is lossless."""
+    t, c = spec["transform"], F.col(spec["col"])
+    if t == "identity":
+        return c
+    if t in ("hours", "days"):
+        unit = 3_600_000_000 if t == "hours" else 86_400_000_000
+        m = F.unix_micros(c.cast("timestamp"))
+        return ((m - F.pmod(m, F.lit(unit))) / F.lit(unit)).cast("long")
+    if t == "months":
+        return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("long")
+    return (F.year(c) - 1970).cast("long")  # years
+
+
+def _partition_value_range(spec: dict, lo, hi) -> tuple | None:
+    """Map a constraint interval on the SOURCE column (epoch micros for
+    timestamps, raw value for identity) to the partition-value interval
+    it implies — the metadata side of _partition_transform_expr. None =
+    unmappable (prune nothing)."""
+    t = spec["transform"]
+    if t == "identity":
+        return (lo, hi)
+    if not all(v is None or isinstance(v, (int, float)) for v in (lo, hi)):
+        return None  # timestamp transforms need the micros encoding
+    unit = {"hours": 3_600_000_000, "days": 86_400_000_000}.get(t)
+    if unit is not None:
+        return (
+            None if lo is None else int(lo) // unit,
+            None if hi is None else int(hi) // unit,
+        )
+
+    def to_part(us: int) -> int:
+        d = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=int(us))
+        return (d.year - 1970) * 12 + d.month - 1 if t == "months" else d.year - 1970
+
+    return (
+        None if lo is None else to_part(lo),
+        None if hi is None else to_part(hi),
+    )
+
+
+def _key_closure(all_files: list, seeds: list) -> list:
+    """Smallest resolve-complete superset of ``seeds`` (metadata only).
+
+    Under merge-on-read a key's versions are spread over files; scanning
+    a pruned subset must still include every version of every key the
+    caller can RETURN, or a stale version could win the subset resolve.
+    A competitor file can hold a version of a seed-file key only if it
+    is in the same bucket and its [min_key, max_key] overlaps that
+    seed's — so one overlap round per bucket closes the set (a version
+    of key k ∈ seed-range intersects the seed's range at k itself).
+
+    Sound ONLY when the caller re-applies the pruning predicate after
+    the resolve (every caller here does): keys that live solely in
+    competitor files may resolve against missing versions, but a
+    competitor is by definition outside the predicate's bounds for
+    every row, so those keys can never pass the residual filter.
+
+    Files lacking key stats are full-range. This replaces the coarser
+    keep-whole-bucket closure: on a compacted MOR table the key-sorted
+    base files overlap few deltas, so a time-bounded read opens
+    O(matching files + overlapping deltas), not O(bucket files)."""
+    seed_paths = {f.path for f in seeds}
+    by_bucket: dict[int, list] = {}
+    for s in seeds:
+        by_bucket.setdefault(s.bucket, []).append(s)
+
+    def overlaps_any(f) -> bool:
+        for s in by_bucket.get(f.bucket, ()):
+            if f.min_key is None or f.max_key is None:
+                return True  # no key stats: assume full range
+            if s.min_key is None or s.max_key is None:
+                return True
+            try:
+                if not (f.max_key < s.min_key or f.min_key > s.max_key):
+                    return True
+            except TypeError:
+                return True
+        return False
+
+    return [f for f in all_files if f.path in seed_paths or overlaps_any(f)]
+
+
 _NO_BOUND = object()  # sentinel: literal/attr not usable for pruning
 
 
@@ -190,15 +306,22 @@ def _predicate_bounds(spark, condition_sql: str) -> dict[str, tuple]:
     except Exception:
         return {}
 
-    def lit_value(e):
+    def lit_value(e, bump: int = 0):
+        """Literal as a comparable scalar. ``bump`` tightens a STRICT
+        comparison by one unit where that is exact: timestamps are
+        integer microseconds, so ``ts < v`` == ``ts <= v-1µs`` — this
+        keeps a strict bound at an exact partition/day boundary from
+        conservatively including the boundary partition. Non-integral
+        types ignore the bump (widened-to-closed stays sound)."""
         if e.getClass().getSimpleName() != "Literal":
             return _NO_BOUND
         v = e.value()
         if v is None:
             return _NO_BOUND
         dt = e.dataType().simpleString()
-        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double",
-                  "timestamp", "timestamp_ntz"):
+        if dt in ("timestamp", "timestamp_ntz"):
+            return (v + bump) if isinstance(v, int) else _NO_BOUND
+        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double"):
             return v if isinstance(v, (int, float)) else _NO_BOUND
         if dt == "string":
             return str(v)
@@ -227,18 +350,29 @@ def _predicate_bounds(spark, condition_sql: str) -> dict[str, tuple]:
         kind = e.getClass().getSimpleName()
         if kind in ("EqualTo", "LessThan", "LessThanOrEqual", "GreaterThan",
                     "GreaterThanOrEqual"):
+            # strict ops: tighten integral (timestamp) literals by 1 unit;
+            # the bump direction depends on which side the attribute is on
+            # (col < v -> hi=v-1; v < col -> lo=v+1)
+            strict = kind in ("LessThan", "GreaterThan")
+            lt = kind in ("LessThan", "LessThanOrEqual")
             l, r = e.left(), e.right()
-            col, v, flip = attr_name(l), lit_value(r), False
-            if col is None or v is _NO_BOUND:
-                col, v, flip = attr_name(r), lit_value(l), True
-            if col is None or v is _NO_BOUND:
+            col, flip = attr_name(l), False
+            if col is None:
+                col, flip = attr_name(r), True
+            if col is None:
+                return
+            lit = l if flip else r
+            # col-side upper bound shrinks (-1), lower bound grows (+1)
+            is_hi = lt != flip
+            v = lit_value(lit, bump=(-1 if is_hi else 1) if strict else 0)
+            if v is _NO_BOUND:
                 return
             if kind == "EqualTo":
                 add(col, v, v)
-            elif kind in ("LessThan", "LessThanOrEqual"):
-                add(col, v, None) if flip else add(col, None, v)
+            elif is_hi:
+                add(col, None, v)
             else:
-                add(col, None, v) if flip else add(col, v, None)
+                add(col, v, None)
         elif kind == "In":
             col = attr_name(e.value())
             if col is None:
@@ -278,6 +412,7 @@ def _make_task_writer(
     stat_cols: list[str],
     schema_version: int,
     rows_per_group: int = 1 << 17,
+    partitioned: bool = False,
 ):
     """Build the executor-side parquet writer for ``mapInArrow``.
 
@@ -308,8 +443,14 @@ def _make_task_writer(
     stat normalizer): cloudpickle ships it by value, so the write path
     works even when the package itself is not importable on the Python
     workers (e.g. a session launched without --py-files / PYTHONPATH).
+
+    ``partitioned``: a ``_p`` column (the table's value-partition
+    transform, computed map-side) splits each bucket's output further —
+    one file per (bucket, partition value) this task holds, with the
+    exact partition value in the manifest entry. Null partition values
+    get their own file (``part`` stays null = never pruned).
     """
-    drop_cols = ("b", "_split")
+    drop_cols = ("b", "_split", "_p")
 
     def write_partition(batches):
         import datetime as _dt
@@ -362,37 +503,55 @@ def _make_task_writer(
                     (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
                 )
 
+        def open_state(key, batch, keep_idx):
+            bv, pv = key
+            rel_dir = _os.path.join(out_dir, f"b={bv}")
+            if partitioned:
+                safe = "__null__" if pv is None else str(pv)
+                rel_dir = _os.path.join(rel_dir, f"p={safe}")
+            _os.makedirs(_os.path.join(table_root, rel_dir), exist_ok=True)
+            rel = _os.path.join(rel_dir, f"task-{pid:05d}-{attempt}.parquet")
+            data_schema = pa.schema([batch.schema.field(i) for i in keep_idx])
+            return {
+                "writer": pq.ParquetWriter(
+                    _os.path.join(table_root, rel), data_schema
+                ),
+                "path": rel,
+                "buf": [],
+                "buf_rows": 0,
+                "rows": 0,
+                "bounds": {c: None for c in [key0] + stat_cols},
+            }
+
+        def feed(key, sub, batch, keep_idx):
+            st = state.get(key)
+            if st is None:
+                st = state[key] = open_state(key, batch, keep_idx)
+            update_bounds(st, sub)
+            st["buf"].append(sub.select(keep_idx))
+            st["buf_rows"] += sub.num_rows
+            st["rows"] += sub.num_rows
+            if st["buf_rows"] >= rows_per_group:
+                flush(st)
+
         for batch in batches:
             names = batch.schema.names
             keep_idx = [i for i, n in enumerate(names) if n not in drop_cols]
             b_col = batch.column(names.index("b"))
             for bv in pc.unique(b_col).to_pylist():
                 sub = batch.filter(pc.equal(b_col, bv))
-                st = state.get(bv)
-                if st is None:
-                    rel_dir = _os.path.join(out_dir, f"b={bv}")
-                    _os.makedirs(_os.path.join(table_root, rel_dir), exist_ok=True)
-                    rel = _os.path.join(rel_dir, f"task-{pid:05d}-{attempt}.parquet")
-                    data_schema = pa.schema([batch.schema.field(i) for i in keep_idx])
-                    st = state[bv] = {
-                        "writer": pq.ParquetWriter(
-                            _os.path.join(table_root, rel), data_schema
-                        ),
-                        "path": rel,
-                        "buf": [],
-                        "buf_rows": 0,
-                        "rows": 0,
-                        "bounds": {c: None for c in [key0] + stat_cols},
-                    }
-                update_bounds(st, sub)
-                st["buf"].append(sub.select(keep_idx))
-                st["buf_rows"] += sub.num_rows
-                st["rows"] += sub.num_rows
-                if st["buf_rows"] >= rows_per_group:
-                    flush(st)
+                if not partitioned:
+                    feed((bv, None), sub, batch, keep_idx)
+                    continue
+                p_col = sub.column(names.index("_p"))
+                for pv in pc.unique(p_col).to_pylist():
+                    mask = pc.is_null(p_col) if pv is None else pc.equal(p_col, pv)
+                    feed((bv, pv), sub.filter(mask), batch, keep_idx)
 
         metas = []
-        for bv, st in sorted(state.items()):
+        for (bv, pv), st in sorted(
+            state.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
+        ):
             flush(st)
             st["writer"].close()
             kb = st["bounds"][key0]
@@ -413,6 +572,7 @@ def _make_task_writer(
                         "max_key": mx,
                         "schema_version": schema_version,
                         "col_stats": col_stats or None,
+                        "part": _scal(pv) if pv is not None else None,
                     }
                 )
             )
@@ -474,15 +634,33 @@ class LakeTable:
         merge_keys: tuple[str, ...] = ("conv_id", "turn_idx"),
         n_buckets: int = 64,
         stat_cols: tuple[str, ...] = (),
+        partition_by: str | None = None,
     ) -> "LakeTable":
         """``stat_cols``: non-key columns whose per-file (min, max)
         footer stats are kept in the snapshot manifest, enabling
         non-key file skipping via ``scan_range`` (e.g. event time for a
         transcripts table — time-bounded reads then open only the files
-        whose range overlaps)."""
+        whose range overlaps).
+
+        ``partition_by``: an optional Iceberg-style VALUE-partition
+        transform (``"days(ts)"``, ``"months(ts)"``, ``"hours(ts)"``,
+        ``"years(ts)"``, or a bare column for identity) layered inside
+        the hash buckets. Writers split data files by partition value,
+        every file's manifest entry carries its exact partition, reads
+        bounded on the source column prune at partition granularity
+        (exact, no stats envelope), and whole partitions can be dropped
+        by metadata alone (``drop_partitions`` — the cheap retention
+        path the reference's ``{iso3}/{date}`` blob layout gives it,
+        reference: src/datasources/floodscan.py:346-352)."""
         t = cls(spark, path)
         if os.path.exists(os.path.join(t._meta_dir, "HEAD")):
             raise FileExistsError(f"table already exists at {path}")
+        pspec = _parse_partition_spec(partition_by) if partition_by else None
+        if pspec and pspec["col"] not in schema.fieldNames():
+            raise ValueError(
+                f"partition column {pspec['col']!r} not in schema "
+                f"{schema.fieldNames()}"
+            )
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(os.path.join(t.path, "data"), exist_ok=True)
         snap = {
@@ -494,6 +672,7 @@ class LakeTable:
             "n_buckets": n_buckets,
             "bucket_seed": cls.BUCKET_SEED,
             "stat_cols": list(stat_cols),
+            "partition_spec": pspec,
             "schema_version": 1,
             "schemas": {"1": json.loads(schema.json())},
             "files": [],
@@ -724,6 +903,7 @@ class LakeTable:
             "n_buckets": old["n_buckets"],
             "bucket_seed": old.get("bucket_seed", 0),
             "stat_cols": old.get("stat_cols", []),
+            "partition_spec": old.get("partition_spec"),
             "schema_version": old["schema_version"],
             "schemas": old["schemas"],
             "renames": old.get("renames", []),
@@ -870,6 +1050,9 @@ class LakeTable:
             raise ValueError(f"cannot rename merge-key column {old!r}")
         if old in cur.get("stat_cols", []):
             raise ValueError(f"cannot rename stat column {old!r}")
+        pspec = cur.get("partition_spec")
+        if pspec and old == pspec["col"]:
+            raise ValueError(f"cannot rename partition source column {old!r}")
         if old not in schema.fieldNames():
             raise ValueError(f"no column {old!r} in {schema.fieldNames()}")
         if new in schema.fieldNames() or new in INTERNAL_COLS:
@@ -904,6 +1087,9 @@ class LakeTable:
             raise ValueError(f"cannot drop merge-key column {name!r}")
         if name in cur.get("stat_cols", []):
             raise ValueError(f"cannot drop stat column {name!r}")
+        pspec = cur.get("partition_spec")
+        if pspec and name == pspec["col"]:
+            raise ValueError(f"cannot drop partition source column {name!r}")
         if name not in schema.fieldNames():
             raise ValueError(f"no column {name!r} in {schema.fieldNames()}")
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
@@ -969,6 +1155,7 @@ class LakeTable:
             "n_buckets": new_n_buckets,
             "bucket_seed": cur.get("bucket_seed", 0),
             "stat_cols": cur.get("stat_cols", []),
+            "partition_spec": cur.get("partition_spec"),
             "schema_version": cur["schema_version"],
             "schemas": cur["schemas"],
             "renames": cur.get("renames", []),
@@ -1045,15 +1232,17 @@ class LakeTable:
         where every surviving key appears in exactly one file. On a
         merge-on-read snapshot with unresolved deltas, a key's winner
         could sit outside the range while a stale version inside the
-        range survives a naive prune — so there pruning degrades to
-        BUCKET granularity: keep every file of any bucket with an
-        overlapping file (resolution within a bucket is then complete —
-        keys never span buckets), and skip only buckets where every
-        version of every key is out of range (their winners cannot be in
-        range either). The read-amplification trade MOR tables make
-        everywhere, made explicit."""
+        range survives a naive prune — so there the overlapping files
+        are closed under same-bucket KEY-RANGE overlap (_key_closure):
+        every version of every returnable key is then present, and rows
+        in the closure-only files can never pass the caller's residual
+        filter (their file's stats don't overlap the range). On a
+        compacted MOR table this opens O(matching + key-overlapping
+        delta) files — far below the old whole-bucket degradation."""
         snap = snapshot or self.current()
-        if col not in snap.get("stat_cols", []):
+        pspec = snap.get("partition_spec")
+        part_col = pspec["col"] if pspec else None
+        if col not in snap.get("stat_cols", []) and col != part_col:
             raise ValueError(
                 f"column {col!r} has no file stats (table stat_cols="
                 f"{snap.get('stat_cols', [])}); pass stat_cols=({col!r},) at create"
@@ -1065,10 +1254,24 @@ class LakeTable:
             cs = (f.col_stats or {}).get(col)
             return cs is None or not (cs[1] < lo_n or cs[0] > hi_n)
 
+        seeds = [f for f in files if overlaps(f)]
+        if col == part_col:
+            prange = _partition_value_range(pspec, lo_n, hi_n)
+            if prange is not None:
+                plo, phi = prange
+
+                def in_part(f: DataFile) -> bool:
+                    if f.part is None:
+                        return True  # pre-spec / null-partition file
+                    try:
+                        return plo <= f.part <= phi
+                    except TypeError:
+                        return True
+
+                seeds = [f for f in seeds if in_part(f)]
         if snap.get("requires_resolve", False):
-            keep_buckets = {f.bucket for f in files if overlaps(f)}
-            return [f for f in files if f.bucket in keep_buckets]
-        return [f for f in files if overlaps(f)]
+            return _key_closure(files, seeds)
+        return seeds
 
     def prune_for_predicate(
         self, condition_sql: str, snapshot: dict | None = None
@@ -1088,9 +1291,15 @@ class LakeTable:
           on any snapshot (every version of a key carries the same key
           value, so all of a matching key's versions survive the prune
           and LWW resolution stays complete);
-        - constraints on ``stat_cols`` skip at file granularity on
-          resolved snapshots and degrade to bucket granularity under
-          merge-on-read (see prune_for_range's LWW-correctness guard).
+        - constraints on the PARTITION SPEC's source column map exactly
+          onto each file's partition value (no stats envelope — the
+          writer split files by partition);
+        - constraints on ``stat_cols`` compare against the per-file
+          min/max envelope;
+        - on merge-on-read snapshots, partition/stat-pruned survivors
+          are closed under same-bucket key-range overlap (_key_closure)
+          so LWW resolution over the subset stays exact — callers must
+          re-apply the predicate after the scan (every caller does).
 
         Type-incompatible comparisons (e.g. a string bound against an
         int stat) conservatively keep the file."""
@@ -1116,24 +1325,29 @@ class LakeTable:
         if key0 in bounds:
             lo, hi = bounds[key0]
             files = [f for f in files if _overlaps(lo, hi, f.min_key, f.max_key)]
+
         mor = snap.get("requires_resolve", False)
+        all_after_key = files
+        pspec = snap.get("partition_spec")
+        if pspec and pspec["col"] in bounds:
+            prange = _partition_value_range(pspec, *bounds[pspec["col"]])
+            if prange is not None:
+                plo, phi = prange
+                files = [
+                    f for f in files
+                    if f.part is None or _overlaps(plo, phi, f.part, f.part)
+                ]
         for c in snap.get("stat_cols", []):
             if c not in bounds:
                 continue
             lo, hi = bounds[c]
-            if mor:
-                keep = {
-                    f.bucket
-                    for f in files
-                    if _overlaps(lo, hi, *((f.col_stats or {}).get(c) or (None, None)))
-                }
-                files = [f for f in files if f.bucket in keep]
-            else:
-                files = [
-                    f
-                    for f in files
-                    if _overlaps(lo, hi, *((f.col_stats or {}).get(c) or (None, None)))
-                ]
+            files = [
+                f
+                for f in files
+                if _overlaps(lo, hi, *((f.col_stats or {}).get(c) or (None, None)))
+            ]
+        if mor and len(files) < len(all_after_key):
+            files = _key_closure(all_after_key, files)
         return files
 
     def scan_range(self, col: str, lo, hi) -> DataFrame:
@@ -1144,6 +1358,64 @@ class LakeTable:
         snap = self.current()
         flist = self.prune_for_range(col, lo, hi, snap)
         return self.scan(files=flist).where(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+    # ---------------------------------------------------------- partitions
+    def partition_spec(self) -> dict | None:
+        return self.current().get("partition_spec")
+
+    def drop_partitions(self, before) -> dict | None:
+        """Metadata-only retention drop: remove every data file whose
+        partition value is below ``before`` (a partition value for
+        identity specs, or anything ``_bound_scalar`` accepts — e.g. a
+        datetime — for time transforms, mapped through the transform).
+
+        The Iceberg ``DELETE WHERE ts < cutoff`` partition-aligned fast
+        path and the reference's per-date blob deletion analog: zero
+        rows are read or written, the commit just drops file references
+        (vacuum reclaims bytes after expiry). Requires a RESOLVED
+        snapshot — under merge-on-read a dropped partition could hold a
+        key's tombstone or newest version while a stale version survives
+        in a retained file, silently resurrecting deleted/overwritten
+        rows; run a major compaction first (the error says so). Files
+        with a null/absent partition value are never dropped.
+
+        Returns the commit snapshot, or None when nothing matched."""
+        cur = self.current()
+        pspec = cur.get("partition_spec")
+        if not pspec:
+            raise ValueError("table has no partition_spec; create with partition_by=")
+        if cur.get("requires_resolve", False):
+            raise ValueError(
+                "drop_partitions requires a resolved snapshot: unresolved "
+                "merge-on-read deltas could resurrect keys whose newest "
+                "version or tombstone lives in the dropped partitions — run "
+                "operators.compact.compact(table) first"
+            )
+        if pspec["transform"] == "identity":
+            cutoff = before
+        else:
+            prange = _partition_value_range(
+                pspec, self._bound_scalar(before), self._bound_scalar(before)
+            )
+            if prange is None:
+                raise ValueError(f"cannot map {before!r} to a partition value")
+            cutoff = prange[0]
+        doomed = [
+            f for f in self.files(cur)
+            if f.part is not None and f.part < cutoff
+        ]
+        if not doomed:
+            return None
+        return self.commit(
+            {f.path for f in doomed},
+            [],
+            operation="drop-partitions",
+            expected_parent_version=cur["version"],
+            summary_extra={
+                "partitions_dropped": sorted({f.part for f in doomed}),
+                "rows_dropped": sum(f.rows for f in doomed),
+            },
+        )
 
     # ---------------------------------------------------------- change feed
     def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -1291,6 +1563,7 @@ class LakeTable:
             "n_buckets": cur["n_buckets"],
             "bucket_seed": cur.get("bucket_seed", 0),
             "stat_cols": cur.get("stat_cols", []),
+            "partition_spec": cur.get("partition_spec"),
             "schema_version": schema_version,
             "schemas": schemas,
             # rename chain (Iceberg field-ID mapping analog): applied at
@@ -1496,12 +1769,19 @@ class LakeTable:
         """
         commit_dir = f"data/c{uuid.uuid4().hex[:12]}"
         key0 = self.merge_keys[0]
-        stat_cols = list(self.current().get("stat_cols", []))
+        cur = self.current()
+        stat_cols = list(cur.get("stat_cols", []))
+        pspec = cur.get("partition_spec")
 
         if pre_partitioned:
             to_write = df.drop("_split") if "_split" in df.columns else df
         else:
             to_write = df.repartition(F.col("b"), F.col("_split")).drop("_split")
+        if pspec:
+            # value-partition transform, computed map-side AFTER the
+            # exchange (it only splits each task's output into per-
+            # partition files — it never adds a shuffle)
+            to_write = to_write.withColumn("_p", _partition_transform_expr(pspec))
         if sort_by:
             # read-optimized files (compaction passes the merge keys):
             # rows sorted by key within each file give tight per-row-
@@ -1511,7 +1791,10 @@ class LakeTable:
             to_write = to_write.sortWithinPartitions("b", *sort_by)
 
         metas = to_write.mapInArrow(
-            _make_task_writer(commit_dir, self.path, key0, stat_cols, schema_version),
+            _make_task_writer(
+                commit_dir, self.path, key0, stat_cols, schema_version,
+                partitioned=bool(pspec),
+            ),
             schema="meta string",
         ).collect()
         files = [DataFile.from_json(json.loads(r["meta"])) for r in metas]

@@ -96,3 +96,23 @@ def test_cli_rejects_bad_mode(spark):
     with pytest.raises(SystemExit):
         main(["ingest", "--log-dir", "x", "--table-dir", "y",
               "--checkpoint-dir", "z", "--mode", "bogus"])
+
+
+def test_cli_partitioned_ingest_and_drop(spark, tmpdir_path, capsys):
+    """ingest --partition-by days(ts) + drop-partitions round trip."""
+    log = f"{tmpdir_path}/log"
+    tdir = f"{tmpdir_path}/t"
+    _run(capsys, ["datagen", "--log-dir", log, "--events", "3000",
+                  "--shards", "2"])
+    r = _run(capsys, ["ingest", "--log-dir", log, "--table-dir", tdir,
+                      "--checkpoint-dir", f"{tmpdir_path}/ckpt",
+                      "--partition-by", "years(ts)", "--mode", "cow"])
+    assert r["final_rows"] > 0
+    from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+
+    t = LakeTable.load(spark, tdir)
+    assert t.partition_spec() == {"transform": "years", "col": "ts"}
+    assert all(f.part is not None for f in t.files())
+    d = _run(capsys, ["drop-partitions", "--table-dir", tdir,
+                      "--before", "2200-01-01"])
+    assert d["rows_dropped"] == r["final_rows"]

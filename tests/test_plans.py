@@ -74,9 +74,21 @@ def test_transcript_assembly_grouped_arrow_single_shuffle(spark):
     # the Arrow group assembly — no extra sort-based shuffles
     import re
 
-    p = _plan(spark, "transcript_assembly")
+    p = _plan(spark, "transcript_assembly_arrow")
     assert "FlatMapGroupsInPandas" in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_transcript_assembly_pure_jvm_one_agg(spark):
+    # the default transcript assembly stays entirely JVM-side: a single
+    # hash/sort aggregate with map-side partials, no Python operator
+    import re
+
+    p = _plan(spark, "transcript_assembly")
+    assert "FlatMapGroupsInPandas" not in p and "MapInPandas" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    before_exchange = p.split("Exchange")[0]
+    assert "Aggregate" in before_exchange  # partial agg before the shuffle
 
 
 def test_rollup_grouping_sets_one_pass(spark):
