@@ -52,7 +52,10 @@ HEADLINE = [
     "embedding_neardup_cosine",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_xxh",
     "neardup_clusters",
+    "partition_pruned_scan",
+    "transcript_assembly",
     "token_count",
     "doc_fingerprint",
     "quality_score",

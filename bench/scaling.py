@@ -239,8 +239,11 @@ def main() -> None:
     # host itself gives embarrassingly-parallel bandwidth-bound work on
     # these cores. On a real cluster 4N executors bring 4x memory
     # channels and no shared-socket turbo skew, so the engine's own
-    # contribution is the raw number with the host's tax removed.
-    eff_engine_rel = eff / ceiling["mem"] if ceiling["mem"] else eff
+    # contribution is the raw number with the host's tax removed. A
+    # measured ceiling > 1 (wide probes landing in a cleaner epoch) is
+    # clamped: the host can't ADD capacity, so dividing by >1 would
+    # understate the engine.
+    eff_engine_rel = eff / min(ceiling["mem"], 1.0) if ceiling["mem"] else eff
 
     def row(label, r):
         return (f"| {label} | {r['wall_sec']:.1f} | {r['events']:,} | "

@@ -142,7 +142,7 @@ def merge_append(
         )
         return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [], None)
     m = obs.get
-    # winners = one row per distinct key; footers must agree (duplicate
+    # winners = one row per distinct key; task manifests must agree (duplicate
     # task-commit guard, see operators/merge._check_write_consistency)
     _check_write_consistency(int(m["distinct_keys"]), new_files)
     bucket_rows: dict[int, int] = {}

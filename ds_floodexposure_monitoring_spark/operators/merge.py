@@ -27,7 +27,8 @@ Physical plan, built for 100 TB:
 3. **Rewrite**: winners leave the resolve already salted-split per
    bucket (operators/skew.py) so hot conversations fan out over
    multiple write tasks/files, and are written ``partitionBy(bucket)``
-   task-local; per-file key stats come from the parquet footers.
+   task-local; per-file key stats ride back as task results
+   (Iceberg-writer style — sources/lake._make_task_writer).
 4. **Commit**: atomic snapshot swap carrying the batch_id (exactly-once
    anchor, streaming/checkpoint.py).
 """
@@ -68,18 +69,16 @@ def _check_write_consistency(observed_rows: int, new_files) -> None:
     """Fail BEFORE commit if the committed data files disagree with the
     write job's observed row count.
 
-    With fileoutputcommitter v2 a task attempt that commits and is then
-    re-executed (stage retry, speculation, lost task result) could leave
-    two part files for the same split in the destination; the footer
-    glob would then commit duplicated rows into the snapshot. The
-    df.observe counter sees each row exactly once, so any divergence
-    means the file set is wrong — abort the commit and leave the table
-    on its previous snapshot (the write dir is unreferenced garbage for
-    vacuum to collect)."""
-    footer_rows = sum(f.rows for f in new_files)
-    if footer_rows != observed_rows:
+    Belt-and-braces cross-check of two independent row counters: the
+    manifest entries assembled from task results (exactly one successful
+    attempt per partition) and the df.observe counter on the same job.
+    Divergence means lost/duplicated task output — abort the commit and
+    leave the table on its previous snapshot (the write dir is
+    unreferenced garbage for vacuum to collect)."""
+    manifest_rows = sum(f.rows for f in new_files)
+    if manifest_rows != observed_rows:
         raise RuntimeError(
-            f"write inconsistency: parquet footers hold {footer_rows} rows but the "
+            f"write inconsistency: task manifests hold {manifest_rows} rows but the "
             f"write job produced {observed_rows}; duplicate or missing task outputs "
             "— refusing to commit"
         )

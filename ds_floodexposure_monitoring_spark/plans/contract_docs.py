@@ -6,10 +6,11 @@ ANSI mirror exists.
 Determinism notes:
 - similarity uses *quantized integer* dot products (functions/vector.py)
   so Spark and DuckDB agree bit-for-bit;
-- MinHash/SimHash use Spark's xxhash64 (no ANSI mirror) → rows-only
-  contract entries, but MinHash output is construction-verified against
-  the exact-Jaccard query (its result must be a subset at equal
-  threshold, equal at high recall).
+- MinHash/SimHash use the md5-based 60-bit hash family (_h60/_hhex),
+  which has an exact ANSI mirror — the whole family is value-checked
+  against DuckDB, zero rows-only entries; the xxhash64 production
+  variant (minhash_lsh_pairs_xxh) rides the identical plan and is
+  pinned equal to the exact all-pairs answer by property test.
 """
 
 from __future__ import annotations
@@ -101,11 +102,22 @@ def _shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
     interpreted JVM transform) and PERSISTED: every consumer self-joins
     or multi-references this frame, and without the cache Spark
     recomputes the shingling once per branch — measured 23.9s -> 2.5s
-    for the exact-Jaccard query at sf0.1."""
+    for the exact-Jaccard query at sf0.1. Memoized per (session, sf):
+    eight registry queries consume this frame, and a fresh persist per
+    call would stack eight cached copies of the corpus in executor
+    memory (eviction pressure on everything downstream)."""
+    key = (id(spark), sf)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     out = table(spark, sf, "documents").select(
         "doc_id", TXT.shingle_set_arrow()(F.col("text")).alias("ws")
-    )
-    return out.persist()
+    ).persist()
+    _SHINGLE_CACHE[key] = out
+    return out
+
+
+_SHINGLE_CACHE: dict = {}
 
 
 @_reg(
@@ -1006,3 +1018,132 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.multimodal import sample_frames
 
     return sample_frames(table(spark, sf, "documents"), stride=2)
+
+
+# ------------------------------------------------------- curation pipeline
+SAMPLE_K = 50  # per-stratum quota
+
+
+@_reg(
+    "stratified_sample",
+    f"""
+    SELECT lang, doc_id, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY {_hhex_sql('CAST(doc_id AS VARCHAR)', 'samp')}, doc_id
+    ) <= {SAMPLE_K}
+    """,
+    note="deterministic stratified sampling for training-data curation: "
+         "per-language quota of K docs chosen by hash rank — seeded, "
+         "reproducible, join-free; at corpus scale the per-stratum sort "
+         "is bounded by a loose map-side hash prefilter (any doc hashing "
+         "above ~K/stratum-count percentile can be discarded before the "
+         "exchange) and the window runs on survivors only",
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-stratum quota by deterministic hash rank. The md5-based
+    rank matches the DuckDB oracle bit-for-bit (same family as the
+    MinHash oracle); production would swap xxhash64 exactly like
+    minhash_lsh_pairs_xxh."""
+    d = table(spark, sf, "documents")
+    rank_key = _hhex(F.col("doc_id").cast("string"), "samp")
+    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAMPLE_K)
+        .drop("rn")
+    )
+
+
+PACK_BUDGET = 2048  # whitespace tokens per packed training sequence
+
+
+@_reg(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, CAST((cum - n_tok) // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+    note="sequence packing for training batches: greedy in-order packing "
+         "of each source's documents into ~budget-token chunks via one "
+         "running-sum window (chunk = floor(preceding-tokens / budget)) "
+         "— a single shuffle+sort per source, no iterative bin-packing "
+         "state; the same hashpartitioning serves the window AND the "
+         "per-chunk aggregation (no second exchange)",
+)
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " ")).alias("n_tok")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("source", "doc_id", n_tok).withColumn(
+        "chunk_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(PACK_BUDGET))
+        .cast("long"),
+    )
+    return c.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+CONTAM_MIN_SHARED = 3  # shared distinct 3-shingles to flag contamination
+
+
+@_reg(
+    "contamination_flags",
+    f"""
+    WITH {_JACCARD_CTES},
+    bench AS (
+      SELECT doc_id, w FROM toks WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT t.doc_id, CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_shared
+      FROM toks t
+      JOIN (SELECT DISTINCT w FROM bench) b ON t.w = b.w
+      WHERE t.doc_id % 97 <> 0
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits WHERE n_shared >= {CONTAM_MIN_SHARED}
+    """,
+    note="benchmark-contamination check: training docs sharing >= "
+         f"{CONTAM_MIN_SHARED} distinct word 3-shingles with any "
+         "benchmark document (the held-out set a training pipeline must "
+         "exclude). The benchmark shingle set is bounded by the BENCHMARK "
+         "size, not the corpus, so broadcasting it is the correct "
+         "production plan — the one place a broadcast of a shingle table "
+         "is safe at 100 TB (contrast minhash_lsh_pairs, which must not "
+         "broadcast corpus token sets)",
+)
+def contamination_flags(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _shingle_sets(spark, sf)
+    toks = docs.select("doc_id", F.explode("ws").alias("w"))
+    bench = (
+        toks.where(F.col("doc_id") % 97 == 0).select("w").distinct()
+    )
+    return (
+        toks.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "w")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("w").alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )

@@ -405,6 +405,108 @@ def _predicate_bounds(spark, condition_sql: str) -> dict[str, tuple]:
     }
 
 
+def _dedupe_task_attempts(paths: list[str]) -> list[str]:
+    """Drop duplicate task-attempt outputs before manifest-building
+    (jvm writer mode only; the arrow mode is structurally immune).
+
+    Under fileoutputcommitter v2 a task attempt that commits and is then
+    re-executed (stage retry, speculation, lost task result) can leave
+    TWO part files for the same task partition in the same directory —
+    ``part-00007-<uuidA>…`` and ``part-00007-<uuidB>…``. Both hold the
+    identical rows (the write plan is deterministic per partition), so
+    keep exactly one per (directory, part index) — smallest name, for
+    determinism — and delete the extras now rather than leaving them as
+    orphans. Genuine corruption (extra rows NOT explained by a
+    duplicated attempt) still trips the downstream row-count
+    consistency guard (operators/merge._check_write_consistency)."""
+    keep: dict[tuple[str, str], str] = {}
+    for p in sorted(paths):
+        name = os.path.basename(p)
+        part = name.split("-")[1] if name.startswith("part-") else name
+        keep.setdefault((os.path.dirname(p), part), p)
+    kept = set(keep.values())
+    for p in paths:
+        if p not in kept:
+            os.remove(p)
+    return sorted(kept)
+
+
+def _make_footer_reader(
+    table_root: str, key0: str, stat_cols: list[str], schema_version: int
+):
+    """Executor-side parquet footer → manifest-entry dict (jvm writer
+    mode). Self-contained closure (same pickling rationale as
+    _make_task_writer): no module-global references, so it runs on
+    Python workers even without --py-files/PYTHONPATH."""
+
+    def read_footer(fpath: str) -> dict | None:
+        import datetime as _dt
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        _epoch = _dt.datetime(1970, 1, 1)
+
+        def _scal(v):
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return (v - _epoch) // _dt.timedelta(microseconds=1)
+            if isinstance(v, bytes):
+                try:
+                    return v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None  # binary stats: no usable bound
+            return v
+
+        md = pq.ParquetFile(fpath).metadata
+        if md.num_rows == 0:
+            _os.remove(fpath)
+            return None
+
+        def col_minmax(name: str):
+            ix = next(
+                (i for i in range(md.num_columns) if md.schema.column(i).name == name),
+                None,
+            )
+            if ix is None:
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ix).statistics
+                if st is None or not st.has_min_max:
+                    return None  # no bounds -> file can never be skipped
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            return _scal(mn), _scal(mx)
+
+        rel = _os.path.relpath(fpath, table_root)
+        bucket = int(rel.split("b=")[1].split("/")[0])
+        part = None
+        if "/_p=" in rel:
+            raw = rel.split("/_p=")[1].split("/")[0]
+            if raw != "__HIVE_DEFAULT_PARTITION__":
+                part = int(raw) if raw.lstrip("-").isdigit() else raw
+        kb = col_minmax(key0)
+        col_stats = {}
+        for c in stat_cols:
+            b = col_minmax(c)
+            if b is not None and b[0] is not None:
+                col_stats[c] = [b[0], b[1]]
+        return {
+            "path": rel,
+            "bucket": bucket,
+            "rows": md.num_rows,
+            "min_key": kb[0] if kb else None,
+            "max_key": kb[1] if kb else None,
+            "schema_version": schema_version,
+            "col_stats": col_stats or None,
+            "part": part,
+        }
+
+    return read_footer
+
+
 def _make_task_writer(
     out_dir: str,
     table_root: str,
@@ -1766,6 +1868,25 @@ class LakeTable:
         ``pre_partitioned``: the caller already exchanged the rows on
         (b, _split) (the one-shuffle merge paths, operators/compact.py /
         merge.py) — write task-local, no second shuffle here.
+
+        Two writer modes (``SPARK_GRAFT_WRITER``; both keep the driver
+        free of per-file I/O — the property that matters at 10^10 rows):
+
+        - ``"arrow"`` (default): a self-contained ``mapInArrow`` task
+          writer returns each file's manifest entry as its task result
+          — the Iceberg-writer task-commit-message pattern: zero
+          listing, and structurally exactly-once manifests (a retried
+          attempt's file is never referenced). Measured AT LEAST as
+          fast as the JVM path on the 8M-row write microbench
+          (1.40-1.66M vs 1.30-1.42M ev/s warm at local[8]) — pyarrow's
+          writer offsets the extra Arrow IPC pass, and it skips the
+          dynamic-partition committer + listing + footer job.
+        - ``"jvm"``: Tungsten's native parquet writer (``partitionBy``),
+          then per-file stats read from the footers by a second tiny
+          DISTRIBUTED job (``parallelize(paths) → footer read``) — the
+          driver does one directory listing and receives one small dict
+          per file. Data never leaves the JVM; the fallback if a
+          deployment forbids Python workers on the write path.
         """
         commit_dir = f"data/c{uuid.uuid4().hex[:12]}"
         key0 = self.merge_keys[0]
@@ -1787,17 +1908,28 @@ class LakeTable:
             # rows sorted by key within each file give tight per-row-
             # group min/max stats, so point lookups prune at row-group
             # granularity, not just file granularity. The hot ingest
-            # path skips this — deltas stay write-fast.
-            to_write = to_write.sortWithinPartitions("b", *sort_by)
+            # path skips this — deltas stay write-fast. Partition value
+            # leads the sort so the JVM writer's required dynamic-
+            # partition ordering (b, _p) is satisfied by prefix and no
+            # second (key-order-destroying) sort is inserted.
+            to_write = to_write.sortWithinPartitions(
+                *(["b", "_p"] if pspec else ["b"]), *sort_by
+            )
 
-        metas = to_write.mapInArrow(
-            _make_task_writer(
-                commit_dir, self.path, key0, stat_cols, schema_version,
-                partitioned=bool(pspec),
-            ),
-            schema="meta string",
-        ).collect()
-        files = [DataFile.from_json(json.loads(r["meta"])) for r in metas]
+        mode = os.environ.get("SPARK_GRAFT_WRITER", "arrow")
+        if mode == "arrow":
+            metas = to_write.mapInArrow(
+                _make_task_writer(
+                    commit_dir, self.path, key0, stat_cols, schema_version,
+                    partitioned=bool(pspec),
+                ),
+                schema="meta string",
+            ).collect()
+            files = [DataFile.from_json(json.loads(r["meta"])) for r in metas]
+        else:
+            files = self._write_jvm(
+                to_write, commit_dir, key0, stat_cols, schema_version, bool(pspec)
+            )
         if mark_base:
             # caller performed a bucket-complete resolve: flag the files
             # so minor compaction exempts exactly them (DataFile.base)
@@ -1805,3 +1937,50 @@ class LakeTable:
 
             files = [_dc.replace(f, base=True) for f in files]
         return files
+
+    def _write_jvm(
+        self,
+        to_write: DataFrame,
+        commit_dir: str,
+        key0: str,
+        stat_cols: list[str],
+        schema_version: int,
+        partitioned: bool,
+    ) -> list[DataFile]:
+        """JVM-native write + distributed footer-stat collection (see
+        write_data_files). Driver I/O: one recursive listing of the
+        fresh commit directory (one LIST call per commit on an object
+        store) + receipt of one small manifest dict per file."""
+        import glob as _glob
+
+        out_dir = os.path.join(self.path, commit_dir)
+        part_cols = ["b", "_p"] if partitioned else ["b"]
+        (
+            to_write.write.mode("overwrite")
+            # parquet bloom filter on the first merge key: point lookups
+            # (prune_for_keys -> scan) skip row groups whose bloom
+            # rejects the key — the in-format Iceberg/Delta bloom analog,
+            # most valuable on unsorted MOR delta files where min/max
+            # ranges span the bucket's whole key space. (The arrow
+            # writer can't emit blooms yet — pyarrow 16 has no write
+            # support — so this rides the jvm mode only.)
+            .option(f"parquet.bloom.filter.enabled#{key0}", "true")
+            .partitionBy(*part_cols)
+            .parquet(out_dir)
+        )
+
+        pattern = os.path.join(out_dir, "b=*", "_p=*", "*.parquet") if partitioned \
+            else os.path.join(out_dir, "b=*", "*.parquet")
+        paths = _dedupe_task_attempts(_glob.glob(pattern))
+        if not paths:
+            return []
+
+        table_root = self.path
+        stat_fn = _make_footer_reader(table_root, key0, stat_cols, schema_version)
+        sc = self.spark.sparkContext
+        metas = (
+            sc.parallelize(paths, max(1, min(len(paths), 4 * sc.defaultParallelism)))
+            .map(stat_fn)
+            .collect()
+        )
+        return [DataFile.from_json(m) for m in metas if m is not None]

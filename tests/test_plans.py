@@ -187,3 +187,27 @@ def test_ngram_jaccard_no_per_document_broadcast(spark):
     df = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF)
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_pack_sequences_single_shuffle(spark):
+    # the running-sum window's hashpartitioning(source) also satisfies
+    # the per-chunk groupBy — one exchange serves both
+    import re
+
+    p = _plan(spark, "pack_sequences")
+    exchange_ids = re.findall(r"\(\d+\) Exchange", p)
+    assert len(exchange_ids) == 1, exchange_ids
+
+
+def test_contamination_broadcasts_benchmark_side_only(spark):
+    # the benchmark shingle set is bounded by the benchmark, so its
+    # broadcast is the correct production plan; the corpus token side
+    # must NOT be broadcast (it reaches the join via shuffle/stream)
+    p = _plan(spark, "contamination_flags")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_stratified_sample_is_deterministic(spark):
+    a = {tuple(r) for r in REGISTRY["stratified_sample"].fn(spark, SF).collect()}
+    b = {tuple(r) for r in REGISTRY["stratified_sample"].fn(spark, SF).collect()}
+    assert a == b and len(a) > 0
