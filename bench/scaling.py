@@ -5,7 +5,8 @@
 No multi-node cluster exists in this sandbox, so the same CDC-ingest
 job (identical generated input, identical configs except parallelism)
 runs at two local[] widths; each run is a fresh JVM (subprocess) so
-nothing is shared. Results go to BENCH/BASELINE.md.
+nothing is shared. Results go to BENCH/LAST_SCALING_RUN.md
+(BENCH/BASELINE.md is hand-curated across invocations — see HISTORY.md).
 
 **Why N=2 / 4N=8 and best-of-K trials.** The sandbox VM advertises 32
 vCPUs but the hypervisor backs them with far fewer physical cores:
@@ -344,7 +345,7 @@ is never the binding constraint; the per-batch shuffles (dedup agg +
 bucket write) are the only all-to-all stages and both use map-side
 partial aggregation.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "LAST_SCALING_RUN.md"), "w") as f:
         f.write(md)
     print(json.dumps({
         "n": rn, "wide": rw, "efficiency": round(eff_headline, 3),

@@ -282,6 +282,30 @@ def timerange_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "point_lookup_lake",
+    """
+    SELECT user_id, event_type, value, ts FROM events
+    WHERE user_id IN (1, 2, 3, 4, 5, 6, 7, 8)
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="metadata-pruned point lookup on a MOR lake table: each key's "
+         "bucket comes from the exact on-write hash and only files whose "
+         "(bucket, min/max key range) can hold a requested key are "
+         "opened — O(keys) metadata + O(matching files) I/O, the 'read "
+         "one conversation out of 10^10 rows' path; LWW-complete under "
+         "MOR because every version of a requested key shares its "
+         "bucket and key value (LakeTable.prune_for_keys/lookup)",
+)
+def point_lookup_lake(spark: SparkSession, sf: str) -> DataFrame:
+    """3 MOR batches, then lookup(user_ids 1..8) — resolved live rows
+    read from the pruned file set only."""
+    t, _versions = _staged_events_table(spark, sf, "ptlookup")
+    return t.lookup(list(range(1, 9))).select(
+        "user_id", "event_type", "value", "ts"
+    )
+
+
+@_reg(
     "partition_pruned_scan",
     """
     WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,
