@@ -8,7 +8,7 @@ fewer physical cores with 6-23% hypervisor steal bursts — unpinned
 local[32] measures contention, not the engine (identical runs swing
 23s↔414s). So the bench defaults to **local[8] pinned to cores 0-7**
 (sched_setaffinity before the JVM starts, so every JVM/GC/shuffle
-thread inherits it) and runs **best-of-2 alternating trials** per query
+thread inherits it) and runs **best-of-3 alternating trials** per query
 and for the CDC replay, which rides out steal epochs. Set
 $SPARK_GRAFT_CPUS to override the width (still pinned when it fits the
 box).
@@ -69,7 +69,9 @@ HEADLINE = [
 # not the engine's sustained rate; at 8M-event batches the same code
 # sustains ~600k ev/s pinned local[8] (BENCH/BASELINE.md).
 CDC_EVENTS_PER_SF = 160_000_000
-TRIALS = 2  # best-of-K alternating trials (noisy-host methodology)
+TRIALS = 3  # best-of-K alternating trials (noisy-host methodology;
+            # raised from 2 in r3 — same-day epoch variance reached 2.2x,
+            # so one extra pass materially tightens the best-of estimate)
 
 
 def _pin_cpus(cpus: int) -> bool:
