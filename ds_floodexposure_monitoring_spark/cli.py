@@ -168,7 +168,16 @@ def cmd_drop_partitions(args) -> int:
     try:
         before = dt.datetime.fromisoformat(args.before)
     except ValueError:
-        before = args.before  # identity partition value
+        # identity partition value: prefer numeric (an int-typed identity
+        # partition compared against a raw string raises in Spark), fall
+        # back to the raw string only for genuinely string partitions.
+        try:
+            before = int(args.before)
+        except ValueError:
+            try:
+                before = float(args.before)
+            except ValueError:
+                before = args.before
     snap = table.drop_partitions(before)
     _emit({
         "op": "drop-partitions", "table_dir": args.table_dir,

@@ -330,11 +330,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
          "JVM-native, ~3x cheaper per hash than the md5 family at "
          "N_MINHASH x shingles calls, the variant a 100 TB deployment "
          "runs. Verification is exact Jaccard on candidates, so every "
-         "returned pair is true; the oracle is the exact all-pairs "
-         "answer, which matches because 16-band recall at t=0.55 "
-         "(miss prob (1-j^2)^16 per pair) is empirically 100% on this "
-         "corpus — property-tested against ngram_jaccard_pairs in "
-         "tests/test_docs_pipeline.py",
+         "returned pair is true (soundness is unconditional); the "
+         "oracle is the exact all-pairs answer, which matches because "
+         "16-band recall at t=0.55 (miss prob (1-j^2)^16 per pair) is "
+         "empirically 100% on this corpus — property-tested against "
+         "ngram_jaccard_pairs in tests/test_docs_pipeline.py. PINNED-"
+         "CORPUS ASSUMPTION: equality with the exact oracle is a "
+         "property of the driver-generated documents table (its near-"
+         "dup pairs all sit well above the LSH threshold); LSH recall "
+         "is probabilistic, so a corpus/shingling change can make a "
+         "true pair miss a band without any code being wrong — on a "
+         "new corpus, re-validate recall or demote this contract to "
+         "the subset assertion.",
 )
 def minhash_lsh_pairs_xxh(spark: SparkSession, sf: str) -> DataFrame:
     return _minhash_pairs_plan(

@@ -205,13 +205,21 @@ def _partition_transform_expr(spec: dict) -> F.Column:
     t, c = spec["transform"], F.col(spec["col"])
     if t == "identity":
         return c
+    m = F.unix_micros(c.cast("timestamp"))
     if t in ("hours", "days"):
         unit = 3_600_000_000 if t == "hours" else 86_400_000_000
-        m = F.unix_micros(c.cast("timestamp"))
         return ((m - F.pmod(m, F.lit(unit))) / F.lit(unit)).cast("long")
+    # months/years: derive from the SAME UTC epoch-micros basis as
+    # days/hours (and as _partition_value_range's metadata math) so a
+    # non-UTC session timezone cannot desynchronize written partition
+    # values from pruning bounds near month/year boundaries. year()/
+    # month() of a DATE are timezone-independent, and date_from_unix_date
+    # of floor(micros/day) is the UTC calendar day.
+    day = 86_400_000_000
+    d = F.date_from_unix_date(((m - F.pmod(m, F.lit(day))) / F.lit(day)).cast("int"))
     if t == "months":
-        return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("long")
-    return (F.year(c) - 1970).cast("long")  # years
+        return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("long")
+    return (F.year(d) - 1970).cast("long")  # years
 
 
 def _partition_value_range(spec: dict, lo, hi) -> tuple | None:
@@ -515,6 +523,7 @@ def _make_task_writer(
     schema_version: int,
     rows_per_group: int = 1 << 17,
     partitioned: bool = False,
+    max_open_writers: int = 64,
 ):
     """Build the executor-side parquet writer for ``mapInArrow``.
 
@@ -551,6 +560,15 @@ def _make_task_writer(
     one file per (bucket, partition value) this task holds, with the
     exact partition value in the manifest entry. Null partition values
     get their own file (``part`` stays null = never pruned).
+
+    Identity-partition directory names are Hive/Iceberg-escaped
+    (percent-encoding of path-hostile characters) so a string value
+    containing ``/`` or ``=`` cannot corrupt the layout; bytes values
+    are normalized like the footer reader. The number of concurrently
+    open parquet writers per task is capped (Iceberg fanout-writer
+    style): on overflow the least-recently-fed (bucket, partition) file
+    is closed and its manifest entry recorded — a re-appearing key
+    simply opens a second file, which the manifest supports.
     """
     drop_cols = ("b", "_split", "_p")
 
@@ -558,6 +576,7 @@ def _make_task_writer(
         import datetime as _dt
         import json as _json
         import os as _os
+        import urllib.parse as _uparse
         import uuid as _uuid
 
         import pyarrow as pa
@@ -581,8 +600,34 @@ def _make_task_writer(
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         attempt = _uuid.uuid4().hex[:8]
-        # bucket -> {writer, path, buf, buf_rows, rows, bounds}
-        state: dict[int, dict] = {}
+        # (bucket, part) -> {writer, path, buf, buf_rows, rows, bounds}
+        state: dict[tuple, dict] = {}
+        done: list[dict] = []  # manifest entries of already-closed files
+        clock = [0]  # per-task feed counter for LRU eviction
+
+        def finalize(key, st) -> None:
+            """Flush+close one open file and record its manifest entry."""
+            bv, pv = key
+            flush(st)
+            st["writer"].close()
+            kb = st["bounds"][key0]
+            done.append(
+                {
+                    "path": st["path"],
+                    "bucket": int(bv),
+                    "rows": st["rows"],
+                    "min_key": _scal(kb[0]) if kb else None,
+                    "max_key": _scal(kb[1]) if kb else None,
+                    "schema_version": schema_version,
+                    "col_stats": {
+                        c: [_scal(st["bounds"][c][0]), _scal(st["bounds"][c][1])]
+                        for c in stat_cols
+                        if st["bounds"][c] is not None
+                    }
+                    or None,
+                    "part": _scal(pv) if pv is not None else None,
+                }
+            )
 
         def flush(st: dict) -> None:
             if st["buf_rows"]:
@@ -609,10 +654,21 @@ def _make_task_writer(
             bv, pv = key
             rel_dir = _os.path.join(out_dir, f"b={bv}")
             if partitioned:
-                safe = "__null__" if pv is None else str(pv)
+                # Hive/Iceberg-style escaping: percent-encode everything
+                # outside [A-Za-z0-9_.-] so '/', '=', '%', ':' etc. in a
+                # string identity-partition value cannot break the layout;
+                # bytes normalize through _scal like the footer reader.
+                safe = (
+                    "__null__"
+                    if pv is None
+                    else _uparse.quote(str(_scal(pv)), safe="")
+                )
                 rel_dir = _os.path.join(rel_dir, f"p={safe}")
             _os.makedirs(_os.path.join(table_root, rel_dir), exist_ok=True)
-            rel = _os.path.join(rel_dir, f"task-{pid:05d}-{attempt}.parquet")
+            clock[0] += 1
+            rel = _os.path.join(
+                rel_dir, f"task-{pid:05d}-{attempt}-{clock[0]:04d}.parquet"
+            )
             data_schema = pa.schema([batch.schema.field(i) for i in keep_idx])
             return {
                 "writer": pq.ParquetWriter(
@@ -628,7 +684,15 @@ def _make_task_writer(
         def feed(key, sub, batch, keep_idx):
             st = state.get(key)
             if st is None:
+                if len(state) >= max_open_writers:
+                    # fanout cap: close the least-recently-fed file so a
+                    # long-history compaction with an hours() transform
+                    # cannot accumulate unbounded handles/buffers.
+                    lru = min(state, key=lambda k: state[k]["last"])
+                    finalize(lru, state.pop(lru))
                 st = state[key] = open_state(key, batch, keep_idx)
+            clock[0] += 1
+            st["last"] = clock[0]
             update_bounds(st, sub)
             st["buf"].append(sub.select(keep_idx))
             st["buf_rows"] += sub.num_rows
@@ -650,34 +714,10 @@ def _make_task_writer(
                     mask = pc.is_null(p_col) if pv is None else pc.equal(p_col, pv)
                     feed((bv, pv), sub.filter(mask), batch, keep_idx)
 
-        metas = []
-        for (bv, pv), st in sorted(
-            state.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
-        ):
-            flush(st)
-            st["writer"].close()
-            kb = st["bounds"][key0]
-            mn = _scal(kb[0]) if kb else None
-            mx = _scal(kb[1]) if kb else None
-            col_stats = {
-                c: [_scal(st["bounds"][c][0]), _scal(st["bounds"][c][1])]
-                for c in stat_cols
-                if st["bounds"][c] is not None
-            }
-            metas.append(
-                _json.dumps(
-                    {
-                        "path": st["path"],
-                        "bucket": int(bv),
-                        "rows": st["rows"],
-                        "min_key": mn,
-                        "max_key": mx,
-                        "schema_version": schema_version,
-                        "col_stats": col_stats or None,
-                        "part": _scal(pv) if pv is not None else None,
-                    }
-                )
-            )
+        for key in list(state):
+            finalize(key, state.pop(key))
+        done.sort(key=lambda m: (m["bucket"], str(m["part"])))
+        metas = [_json.dumps(m) for m in done]
         if metas:
             yield pa.RecordBatch.from_arrays([pa.array(metas)], names=["meta"])
 

@@ -116,3 +116,36 @@ def test_cli_partitioned_ingest_and_drop(spark, tmpdir_path, capsys):
     d = _run(capsys, ["drop-partitions", "--table-dir", tdir,
                       "--before", "2200-01-01"])
     assert d["rows_dropped"] == r["final_rows"]
+
+
+def test_cli_drop_partitions_int_identity(spark, tmpdir_path, capsys):
+    """Regression (ADVICE r3): --before on an integer identity partition
+    coerces to int instead of raising TypeError on int < 'str'."""
+    import datetime as dt
+
+    from ds_floodexposure_monitoring_spark.datagen.transcripts import (
+        transcript_schema,
+    )
+    from ds_floodexposure_monitoring_spark.operators.merge import merge_into
+    from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+
+    tdir = f"{tmpdir_path}/ident"
+    t = LakeTable.create(
+        spark, tdir, transcript_schema(), n_buckets=2, partition_by="turn_idx"
+    )
+    rows = [
+        (i, f"c{i}", i % 4, "user", f"t{i}", None, dt.datetime(2024, 1, 1))
+        for i in range(16)
+    ]
+    merge_into(
+        t,
+        spark.createDataFrame(
+            rows,
+            "lsn long, conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp",
+        ),
+        batch_id="b1",
+    )
+    d = _run(capsys, ["drop-partitions", "--table-dir", tdir, "--before", "2"])
+    assert d["dropped"] == [0, 1]
+    assert LakeTable.load(spark, tdir).scan().count() == 8

@@ -194,3 +194,111 @@ def test_jvm_writer_mode_equivalent(spark, tmpdir_path, monkeypatch):
         for r in t.scan().where(~F.col("text").startswith("arrow")).collect()
     )
     assert got == want
+
+
+def test_months_partition_non_utc_session(spark, tmpdir_path):
+    """Regression (ADVICE r3, medium): months/years partition values
+    must come from the SAME UTC epoch basis as the pruning math. On a
+    non-UTC session, F.month(ts)-based values disagree with
+    _partition_value_range near month boundaries and a matching file is
+    silently pruned away."""
+    utc = dt.timezone.utc
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmpdir_path, "mtz"), transcript_schema(),
+            n_buckets=2, partition_by="months(ts)",
+        )
+        # 2024-02-01 02:00 UTC == 2024-01-31 21:00 New York: UTC month
+        # (Feb, part 649) differs from session-tz month (Jan, part 648)
+        rows = [(1, "c1", 0, "user", "boundary", None,
+                 dt.datetime(2024, 2, 1, 2, 0, tzinfo=utc))]
+        merge_into(t, spark.createDataFrame(rows, DDL), batch_id="b1")
+        assert {f.part for f in t.files()} == {(2024 - 1970) * 12 + 1}  # 649
+        lo = dt.datetime(2024, 2, 1, tzinfo=utc)
+        hi = dt.datetime(2024, 2, 28, tzinfo=utc)
+        assert len(t.prune_for_range("ts", lo, hi)) == 1
+        assert t.scan_range("ts", lo, hi).count() == 1
+        # years behaves the same near a year boundary
+        t2 = LakeTable.create(
+            spark, os.path.join(tmpdir_path, "ytz"), transcript_schema(),
+            n_buckets=2, partition_by="years(ts)",
+        )
+        rows = [(1, "c1", 0, "user", "ny", None,
+                 dt.datetime(2024, 1, 1, 3, 0, tzinfo=utc))]
+        merge_into(t2, spark.createDataFrame(rows, DDL), batch_id="b1")
+        assert {f.part for f in t2.files()} == {2024 - 1970}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_identity_partition_hostile_values(spark, tmpdir_path):
+    """Regression (ADVICE r3): a string identity-partition value with
+    '/', '=', '%' must not corrupt the directory layout (Hive-style
+    percent-escaping) and must round-trip through scan + prune."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "hostile"), transcript_schema(),
+        n_buckets=2, partition_by="role",
+    )
+    hostile = ["a/b", "k=v", "p%20q", "dot.."]
+    rows = [
+        (i, f"c{i}", 0, role, f"txt-{role}", None, dt.datetime(2024, 1, 1))
+        for i, role in enumerate(hostile)
+    ]
+    merge_into(t, spark.createDataFrame(rows, DDL), batch_id="b1")
+    assert t.scan().count() == len(hostile)
+    assert {f.part for f in t.files()} == set(hostile)
+    for f in t.files():
+        # every manifest path resolves to a real file under the root
+        assert os.path.isfile(os.path.join(t.path, f.path)), f.path
+        assert "/p=" in f.path and f.path.count("=") >= 2
+    got = sorted(r.text for r in t.scan().collect())
+    assert got == sorted(f"txt-{r}" for r in hostile)
+
+
+def test_fanout_writer_cap_evicts_and_stays_exact(spark, tmpdir_path):
+    """Regression (ADVICE r3): the arrow task writer caps concurrently
+    open parquet writers (LRU close + new file on key reappearance);
+    manifests and data stay exact when a task holds more (bucket,
+    partition) pairs than the cap."""
+    import pyarrow as pa
+
+    from ds_floodexposure_monitoring_spark.sources.lake import _make_task_writer
+
+    root = os.path.join(tmpdir_path, "fanout")
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    wp = _make_task_writer(
+        "data", root, "conv_id", ["ts"], schema_version=1,
+        partitioned=True, max_open_writers=4,
+    )
+    # 12 partition values interleaved A,B,A,B... so LRU eviction fires
+    # and several keys REAPPEAR after their writer was closed
+    def mk(lo, n):
+        return pa.RecordBatch.from_pydict({
+            "b": pa.array([i % 2 for i in range(lo, lo + n)], pa.int32()),
+            "_p": pa.array([i % 12 for i in range(lo, lo + n)], pa.int64()),
+            "conv_id": pa.array([f"c{i:04d}" for i in range(lo, lo + n)]),
+            "ts": pa.array([1000 + i for i in range(lo, lo + n)], pa.int64()),
+        })
+
+    out = list(wp([mk(0, 48), mk(0, 48)]))
+    assert len(out) == 1
+    import json
+
+    metas = [json.loads(m) for m in out[0].column(0).to_pylist()]
+    # reappearing (bucket, part) keys produced >1 file — allowed by the
+    # manifest — and total rows are exact
+    assert sum(m["rows"] for m in metas) == 96
+    keys = {(m["bucket"], m["part"]) for m in metas}
+    assert keys == {(b, p) for b in (0, 1) for p in range(12) if p % 2 == b}
+    assert len(metas) > len(keys)  # eviction really closed+reopened files
+    import pyarrow.parquet as pq
+
+    seen = []
+    for m in metas:
+        tbl = pq.read_table(os.path.join(root, m["path"]))
+        assert m["min_key"] == min(tbl.column("conv_id").to_pylist())
+        assert m["max_key"] == max(tbl.column("conv_id").to_pylist())
+        seen += tbl.column("conv_id").to_pylist()
+    assert sorted(seen) == sorted([f"c{i:04d}" for i in range(48)] * 2)
