@@ -14,6 +14,7 @@ Determinism rules used throughout (SURVEY.md §7.3):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -144,6 +145,44 @@ def _staged_events_table(
     return t, versions
 
 
+_STAGED_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _staged_events_table_shared(
+    spark: SparkSession, sf: str, stat_cols: tuple = ("ts",),
+    partition_by: str | None = None,
+):
+    """Memoized _staged_events_table for READ-ONLY consumers.
+
+    Five registry queries (change feed, time travel, incremental
+    rollup's base, time-range scan, point lookup) stage the identical
+    3-batch MOR table from `events` and never mutate it afterwards —
+    per-call rebuilds made that scaffold most of their wall time
+    (VERDICT r3 item 6). One staged table per (session, sf, stat_cols,
+    partition_by) is built on first use and reused; mutating consumers
+    (DML, retention drop, schema DDL, compaction policies) keep their
+    private per-call rebuilds. Keyed on the session OBJECT via a
+    WeakKeyDictionary — no id() aliasing after GC, and a torn-down
+    session drops its entries automatically (the same fix as
+    contract_docs._SHINGLE_CACHE). A version guard rebuilds if anything
+    ever advanced the cached table's HEAD."""
+    per = _STAGED_CACHE.get(spark)
+    if per is None:
+        per = _STAGED_CACHE[spark] = {}
+    key = (sf, tuple(stat_cols), partition_by)
+    hit = per.get(key)
+    if hit is not None:
+        t, versions = hit
+        if t.version == versions[-1]:
+            return t, versions
+    tag = "ro" + ("p" if partition_by else "") + ("s" if stat_cols else "")
+    t, versions = _staged_events_table(
+        spark, sf, tag, stat_cols=stat_cols, partition_by=partition_by
+    )
+    per[key] = (t, versions)
+    return t, versions
+
+
 @_reg(
     "cdc_change_feed",
     """
@@ -168,7 +207,7 @@ def _staged_events_table(
 def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Apply 3 MOR batches, then read the row-level changes the third
     batch caused: scan_changes(v_after_batch2, v_after_batch3)."""
-    t, versions = _staged_events_table(spark, sf, "cdcfeed")
+    t, versions = _staged_events_table_shared(spark, sf)
     return t.scan_changes(versions[2], versions[3]).select(
         "user_id", "event_type", "value", "ts", "change_lsn", "change_type"
     )
@@ -190,7 +229,7 @@ def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
 def time_travel_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Apply 3 MOR batches, then scan the table AS OF the snapshot after
     batch 2 — the live LWW state over the first two-thirds of the log."""
-    t, versions = _staged_events_table(spark, sf, "timetravel")
+    t, versions = _staged_events_table_shared(spark, sf)
     return t.scan(version=versions[2]).select("user_id", "event_type", "value", "ts")
 
 
@@ -218,15 +257,21 @@ def time_travel_scan(spark: SparkSession, sf: str) -> DataFrame:
 def incremental_rollup_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """Maintain a per-user rollup incrementally across the 3 staged
     batches; return the derived table's final state."""
+    import shutil
+
     from pyspark.sql import types as T
 
     from ..operators.incremental import refresh_rollup
     from ..sources.lake import LakeTable
 
-    t, versions = _staged_events_table(spark, sf, "increll")
+    t, versions = _staged_events_table_shared(spark, sf)
+    # the BASE is shared (read-only here); the derived table is rebuilt
+    # per call — the shared root is no longer rmtree'd, so clear it
+    derived_dir = os.path.join(os.path.dirname(t.path), "rollup")
+    shutil.rmtree(derived_dir, ignore_errors=True)
     derived = LakeTable.create(
         spark,
-        os.path.join(os.path.dirname(t.path), "rollup"),
+        derived_dir,
         T.StructType(
             [
                 T.StructField("user_id", T.LongType()),
@@ -275,7 +320,7 @@ def timerange_scan(spark: SparkSession, sf: str) -> DataFrame:
     range read of the LWW state."""
     import datetime as dt
 
-    t, _versions = _staged_events_table(spark, sf, "timerange", stat_cols=("ts",))
+    t, _versions = _staged_events_table_shared(spark, sf)
     mn = table(spark, sf, "events").agg(F.min("ts")).collect()[0][0]
     lo, hi = mn + dt.timedelta(days=10), mn + dt.timedelta(days=20)
     return t.scan_range("ts", lo, hi).select("user_id", "event_type", "value", "ts")
@@ -299,7 +344,7 @@ def timerange_scan(spark: SparkSession, sf: str) -> DataFrame:
 def point_lookup_lake(spark: SparkSession, sf: str) -> DataFrame:
     """3 MOR batches, then lookup(user_ids 1..8) — resolved live rows
     read from the pruned file set only."""
-    t, _versions = _staged_events_table(spark, sf, "ptlookup")
+    t, _versions = _staged_events_table_shared(spark, sf)
     return t.lookup(list(range(1, 9))).select(
         "user_id", "event_type", "value", "ts"
     )
@@ -332,8 +377,8 @@ def partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     instead of min/max stats."""
     import datetime as dt
 
-    t, _versions = _staged_events_table(
-        spark, sf, "partscan", partition_by="days(ts)"
+    t, _versions = _staged_events_table_shared(
+        spark, sf, partition_by="days(ts)"
     )
     mn = table(spark, sf, "events").agg(F.min("ts")).collect()[0][0]
     lo, hi = mn + dt.timedelta(days=10), mn + dt.timedelta(days=20)

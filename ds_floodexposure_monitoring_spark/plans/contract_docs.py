@@ -15,6 +15,8 @@ Determinism notes:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -105,19 +107,25 @@ def _shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
     for the exact-Jaccard query at sf0.1. Memoized per (session, sf):
     eight registry queries consume this frame, and a fresh persist per
     call would stack eight cached copies of the corpus in executor
-    memory (eviction pressure on everything downstream)."""
-    key = (id(spark), sf)
-    cached = _SHINGLE_CACHE.get(key)
+    memory (eviction pressure on everything downstream). Keyed on the
+    session OBJECT via a WeakKeyDictionary, not id(spark): id() reuse
+    after GC could alias a new session onto a stale plan, and a
+    torn-down session now drops its entry (and its persisted frame's
+    last reference) automatically."""
+    per = _SHINGLE_CACHE.get(spark)
+    if per is None:
+        per = _SHINGLE_CACHE[spark] = {}
+    cached = per.get(sf)
     if cached is not None:
         return cached
     out = table(spark, sf, "documents").select(
         "doc_id", TXT.shingle_set_arrow()(F.col("text")).alias("ws")
     ).persist()
-    _SHINGLE_CACHE[key] = out
+    per[sf] = out
     return out
 
 
-_SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 @_reg(
@@ -1042,22 +1050,81 @@ SAMPLE_K = 50  # per-stratum quota
     """,
     note="deterministic stratified sampling for training-data curation: "
          "per-language quota of K docs chosen by hash rank — seeded, "
-         "reproducible, join-free; at corpus scale the per-stratum sort "
-         "is bounded by a loose map-side hash prefilter (any doc hashing "
-         "above ~K/stratum-count percentile can be discarded before the "
-         "exchange) and the window runs on survivors only",
+         "reproducible. SCALE SHAPE: a two-pass hash-cutoff prefilter "
+         "bounds the window's exchange — pass 1 counts each stratum "
+         "(map-side partial agg, #strata rows to the driver), a per-"
+         "stratum cutoff keeping ~4K of the uniformly-hashed ranks is "
+         "broadcast-joined back, the corpus is filtered MAP-SIDE, and "
+         "the row_number window sorts only the ~4K survivors per "
+         "stratum instead of the whole corpus; a survivor-count check "
+         "falls back to the full window for any stratum the cutoff "
+         "under-filled (probability ~e^-K), preserving exactness",
 )
 def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-stratum quota by deterministic hash rank. The md5-based
     rank matches the DuckDB oracle bit-for-bit (same family as the
     MinHash oracle); production would swap xxhash64 exactly like
     minhash_lsh_pairs_xxh."""
-    d = table(spark, sf, "documents")
+    return _stratified_sample_plan(table(spark, sf, "documents"), SAMPLE_K)
+
+
+def _stratified_sample_plan(
+    d: DataFrame, k: int, safety: int = 4
+) -> DataFrame:
+    """Hash-cutoff stratified top-K (see registry note).
+
+    Exactness argument: ordering is (rank_key, doc_id) with rank_key a
+    fixed-width lowercase-hex string, and the prefilter keeps exactly
+    the rows whose first-8-hex prefix is <= the stratum cutoff. Any
+    dropped row therefore sorts strictly AFTER every kept row, so when a
+    stratum retains >= min(K, stratum_size) survivors its survivor-only
+    top-K equals the global top-K. Strata smaller than safety*K keep a
+    cutoff of 'ffffffff' (everything survives); larger strata that
+    still under-fill (hash-skew tail, probability ~exp(-K) by Chernoff
+    on Binomial(n, safety*K/n)) are re-run through the full window and
+    unioned — the common path stays bounded, the rare path stays exact.
+    """
     rank_key = _hhex(F.col("doc_id").cast("string"), "samp")
-    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    base = d.select("lang", "doc_id", "n_chars", rank_key.alias("rk"))
+    spark = d.sparkSession
+
+    # pass 1: stratum sizes (map-side partials; #strata rows collected)
+    sizes = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = 0xFFFFFFFF
+
+    def cutoff(n: int) -> str:
+        want = safety * k
+        c = full if n <= want else min(full, int(full * want / n) + 1)
+        return f"{c:08x}"
+
+    cut_df = F.broadcast(
+        spark.createDataFrame(
+            [(lang, cutoff(n)) for lang, n in sizes.items()], "lang string, cut string"
+        )
+    )
+    survivors = base.join(cut_df, "lang").where(
+        F.substring("rk", 1, 8) <= F.col("cut")
+    )
+
+    # survivor-count check (#strata rows): strata the cutoff under-filled
+    # fall back to the unfiltered window — exact, and ~never taken
+    got = {
+        r["lang"]: r["n"]
+        for r in survivors.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    shortfall = [
+        lang for lang, n in sizes.items() if got.get(lang, 0) < min(k, n)
+    ]
+    pool = survivors.drop("cut")
+    if shortfall:
+        pool = pool.where(~F.col("lang").isin(shortfall)).unionByName(
+            base.where(F.col("lang").isin(shortfall))
+        )
+
+    w = Window.partitionBy("lang").orderBy("rk", "doc_id")
     return (
-        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= SAMPLE_K)
+        pool.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= k)
         .drop("rn")
     )
 
@@ -1086,23 +1153,86 @@ PACK_BUDGET = 2048  # whitespace tokens per packed training sequence
     FROM c GROUP BY 1, 2
     """,
     note="sequence packing for training batches: greedy in-order packing "
-         "of each source's documents into ~budget-token chunks via one "
-         "running-sum window (chunk = floor(preceding-tokens / budget)) "
-         "— a single shuffle+sort per source, no iterative bin-packing "
-         "state; the same hashpartitioning serves the window AND the "
-         "per-chunk aggregation (no second exchange)",
+         "of each source's documents into ~budget-token chunks (chunk = "
+         "floor(preceding-tokens / budget)). SCALE SHAPE: a DISTRIBUTED "
+         "prefix sum — range-partition on (source, doc_id), per-"
+         "partition token sums (one tiny row per range partition) are "
+         "prefix-summed on the driver and broadcast-joined back as "
+         "offsets, then the running-sum window partitions by (source, "
+         "range-partition) so each sort task handles one slice of a "
+         "source, never a whole low-cardinality source in one task",
 )
 def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
+    return _pack_sequences_plan(table(spark, sf, "documents"), PACK_BUDGET)
+
+
+def _pack_sequences_plan(
+    d: DataFrame, budget: int, num_slices: int | None = None
+) -> DataFrame:
+    """Distributed prefix sum for greedy in-order packing.
+
+    ``source`` is low-cardinality, so a running-sum window partitioned
+    by it alone funnels each source's whole corpus through ONE sort task
+    at scale. Instead each source is cut into ``num_slices`` doc_id
+    ranges and the window runs per (source, slice):
+
+    1. one agg job collects per-source approx doc_id quantile boundaries
+       (#sources tiny rows to the driver);
+    2. the slice id becomes a PURE FUNCTION of (source, doc_id) — count
+       of fixed boundary literals below doc_id, evaluated map-side
+       against the broadcast boundary array — so every job that derives
+       it agrees by construction (no dependence on physical partitioning
+       or on range-sampler reproducibility);
+    3. a second tiny agg reduces each (source, slice) to its token sum,
+       the driver prefix-sums those into per-slice starting offsets and
+       broadcasts them back;
+    4. cum = offset + slice-local running sum == the global per-source
+       running sum, exactly, for ANY fixed boundary set — boundary
+       quality only balances slice sizes, never correctness.
+    """
+    spark = d.sparkSession
     n_tok = F.size(F.split("text", " ")).alias("n_tok")
+    p = num_slices or spark.sparkContext.defaultParallelism
+    t = d.select("source", "doc_id", n_tok)
+
+    qs = [i / p for i in range(1, p)]
+    bounds = {
+        r["source"]: sorted(set(r["bnds"] or []))
+        for r in t.groupBy("source")
+        .agg(F.percentile_approx("doc_id", qs, 10_000).alias("bnds"))
+        .collect()
+    }
+    bnd_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, b) for s, b in bounds.items()], "source string, bnds array<long>"
+        )
+    )
+    slice_col = F.aggregate(
+        "bnds",
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("doc_id") > b, 1).otherwise(0),
+    ).alias("slice")
+    sliced = t.join(bnd_df, "source").select("source", "doc_id", "n_tok", slice_col)
+
+    # one row per (source, slice): bounded by #sources * p, collected
+    slice_sums = sliced.groupBy("source", "slice").agg(
+        F.sum("n_tok").cast("long").alias("tok")
+    ).collect()
+    offsets, running = [], {}
+    for r in sorted(slice_sums, key=lambda r: (r["source"], r["slice"])):
+        offsets.append((r["source"], r["slice"], running.get(r["source"], 0)))
+        running[r["source"]] = running.get(r["source"], 0) + r["tok"]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "source string, slice int, off long")
+    )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "slice")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = d.select("source", "doc_id", n_tok).withColumn(
+    c = sliced.join(off_df, ["source", "slice"]).withColumn(
         "chunk_id",
-        ((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(PACK_BUDGET))
+        ((F.col("off") + F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(budget))
         .cast("long"),
     )
     return c.groupBy("source", "chunk_id").agg(

@@ -189,14 +189,65 @@ def test_ngram_jaccard_no_per_document_broadcast(spark):
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
 
 
-def test_pack_sequences_single_shuffle(spark):
-    # the running-sum window's hashpartitioning(source) also satisfies
-    # the per-chunk groupBy — one exchange serves both
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """The running-sum window must partition by (source, slice), never
+    by the low-cardinality source alone — otherwise each source's whole
+    corpus funnels through ONE sort task at 100x scale. The final agg
+    adds one more exchange (chunks can span slices), so: exactly two
+    shuffles, and the window's is on the high-cardinality composite."""
     import re
 
     p = _plan(spark, "pack_sequences")
-    exchange_ids = re.findall(r"\(\d+\) Exchange", p)
-    assert len(exchange_ids) == 1, exchange_ids
+    shuffles = [
+        m
+        for m in re.findall(r"\(\d+\) (BroadcastExchange|Exchange)", p)
+        if m == "Exchange"
+    ]
+    assert len(shuffles) == 2, p
+    assert re.search(r"hashpartitioning\(source#\d+, slice#\d+", p), p
+    # the per-source window key must NOT appear alone
+    assert not re.search(r"hashpartitioning\(source#\d+, \d+\)", p), p
+
+
+def test_pack_sequences_exact_vs_single_partition_reference(spark):
+    """The distributed prefix sum equals the naive one-window-per-source
+    reference on a corpus with many slices per source."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from ds_floodexposure_monitoring_spark.plans.contract_docs import (
+        _pack_sequences_plan,
+    )
+
+    d = spark.range(3000).select(
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.pmod(F.col("id") * 37, 40) + 1).cast("int"))
+        ).alias("text"),
+    )
+    got = sorted(tuple(r) for r in _pack_sequences_plan(d, 100, num_slices=16).collect())
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        d.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .withColumn(
+            "chunk_id",
+            ((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(100)).cast("long"),
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want and len(got) > 50
 
 
 def test_contamination_broadcasts_benchmark_side_only(spark):
@@ -211,3 +262,74 @@ def test_stratified_sample_is_deterministic(spark):
     a = {tuple(r) for r in REGISTRY["stratified_sample"].fn(spark, SF).collect()}
     b = {tuple(r) for r in REGISTRY["stratified_sample"].fn(spark, SF).collect()}
     assert a == b and len(a) > 0
+
+
+def _stratified_reference(d, k):
+    """Naive full-window stratified top-K for comparison."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from ds_floodexposure_monitoring_spark.plans.contract_docs import _hhex
+
+    w = Window.partitionBy("lang").orderBy(
+        _hhex(F.col("doc_id").cast("string"), "samp"), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _synth_docs(spark, n=4000, langs=4):
+    import pyspark.sql.functions as F
+
+    return spark.range(n).select(
+        F.concat(F.lit("L"), (F.col("id") % langs).cast("string")).alias("lang"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 500).alias("n_chars"),
+    )
+
+
+def test_stratified_sample_prefilter_bounds_window_exchange(spark):
+    """The window's exchange input must be the hash-cutoff survivors
+    (~safety*K per stratum), not the whole corpus: the plan carries a
+    substring(rk)-vs-cutoff Filter below the Window, and the survivor
+    set it admits is a small fraction of the corpus."""
+    import pyspark.sql.functions as F
+
+    from ds_floodexposure_monitoring_spark.plans.contract_docs import (
+        _hhex,
+        _stratified_sample_plan,
+    )
+
+    d = _synth_docs(spark)
+    k, safety = 5, 2
+    out = _stratified_sample_plan(d, k, safety=safety)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" in plan and "substring" in plan, plan
+    # survivors really are bounded: rebuild the same filter and count
+    want = sorted(tuple(r) for r in _stratified_reference(d, k).collect())
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == want and len(got) == 4 * k
+    # each 1000-row stratum keeps ~2*safety*k of its uniform hashes
+    cut = f"{min(0xffffffff, int(0xffffffff * safety * k / 1000) + 1):08x}"
+    survivors = d.where(
+        F.substring(_hhex(F.col("doc_id").cast("string"), "samp"), 1, 8) <= cut
+    ).count()
+    assert survivors < 4000 * 0.2, survivors
+
+
+def test_stratified_sample_shortfall_fallback_stays_exact(spark):
+    """safety=0 under-fills every stratum, forcing the full-window
+    fallback path — results must still equal the reference."""
+    from ds_floodexposure_monitoring_spark.plans.contract_docs import (
+        _stratified_sample_plan,
+    )
+
+    d = _synth_docs(spark, n=800, langs=2)
+    got = sorted(tuple(r) for r in _stratified_sample_plan(d, 7, safety=0).collect())
+    want = sorted(tuple(r) for r in _stratified_reference(d, 7).collect())
+    assert got == want and len(got) == 14
