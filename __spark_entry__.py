@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # 1-3 left these 19 unchecked or stale (never checked / last checked in
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
+    # new in round 4
+    "jdbc_scan",
     # never driver-checked through round 3
     "multimodal_features",
     "multimodal_resize",

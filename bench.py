@@ -55,6 +55,10 @@ HEADLINE = [
     "minhash_lsh_pairs_xxh",
     "neardup_clusters",
     "partition_pruned_scan",
+    "jdbc_scan",
+    "stratified_sample",
+    "pack_sequences",
+    "contamination_flags",
     "transcript_assembly",
     "token_count",
     "doc_fingerprint",

@@ -23,34 +23,68 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_payload(payload: bytes) -> dict:
-    """STUB decoder. A real deployment plugs a codec in here.
+_CODEC_MAGICS = (b"\x89PNG", b"RIFF", b"\x00\x00\x00\x18")
 
-    Deterministic fake: metadata derived arithmetically from byte
-    length, so tests/oracles can verify the plumbing end-to-end.
+# Pluggable decoders, tried in registration order. Each takes the raw
+# payload bytes and returns a metadata dict (n_bytes/width/height/
+# n_frames) or None to pass. Registered on the driver; decode_metadata
+# captures the list BY VALUE at plan-build time so executors see it
+# (a module-global lookup inside the worker would read the worker's own
+# freshly-imported, empty module instead).
+_DECODERS: list = []
+
+
+def register_decoder(fn) -> None:
+    """Plug a real codec in: ``fn(payload: bytes) -> dict | None``.
+    Return None to decline a payload (the next decoder is tried)."""
+    _DECODERS.append(fn)
+
+
+def _pil_decoder(payload: bytes) -> dict | None:
+    """Built-in real-codec hook: used automatically wherever Pillow is
+    importable (import-tried per worker; this container lacks it)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        im = Image.open(io.BytesIO(payload))
+        im.load()
+    except Exception:
+        return None
+    return {
+        "n_bytes": len(payload),
+        "width": im.width,
+        "height": im.height,
+        "n_frames": int(getattr(im, "n_frames", 1)),
+    }
+
+
+def decode_payload(payload: bytes, decoders: tuple = ()) -> dict:
+    """Decode one payload: registered decoders first, then the built-in
+    PIL hook for real codec payloads, then — for codec payloads with no
+    decoder available in the environment — a loud NotImplementedError.
+    Non-codec payloads fall through to the deterministic fake (metadata
+    derived arithmetically from the byte stream) so tests/oracles can
+    verify the plumbing end-to-end in a codec-less container.
     """
-    if payload[:4] in (b"\x89PNG", b"RIFF", b"\x00\x00\x00\x18"):
+    for dec in decoders:
+        meta = dec(payload)
+        if meta is not None:
+            return meta
+    if payload[:4] in _CODEC_MAGICS:
+        meta = _pil_decoder(payload)
+        if meta is not None:
+            return meta
         raise NotImplementedError(
             "real image/audio/video decoding requires codec libraries "
-            "not present in this environment; plug a decoder into "
-            "decode_payload()"
+            "not present in this environment; plug one in with "
+            "register_decoder()"
         )
     n = len(payload)
     return {"n_bytes": n, "width": n % 640, "height": (n * 7) % 480, "n_frames": n % 30 + 1}
-
-
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        metas = pdf["payload"].map(decode_payload)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": metas.map(lambda m: m["n_bytes"]),
-                "width": metas.map(lambda m: m["width"]),
-                "height": metas.map(lambda m: m["height"]),
-                "n_frames": metas.map(lambda m: m["n_frames"]),
-            }
-        )
 
 
 def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
@@ -59,6 +93,21 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     Input: ``(id_col, payload_col binary)``; runs one Python worker per
     partition with vectorized Arrow transfer (never per-row pickling).
     """
+    decoders = tuple(_DECODERS)  # shipped by value inside the closure
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(lambda p: decode_payload(p, decoders))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": metas.map(lambda m: m["n_bytes"]),
+                    "width": metas.map(lambda m: m["width"]),
+                    "height": metas.map(lambda m: m["height"]),
+                    "n_frames": metas.map(lambda m: m["n_frames"]),
+                }
+            )
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_decode_batches, DECODE_SCHEMA)
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..sources.lake import LSN_COL, TOMBSTONE_COL, LakeTable
 from .evolve import align_to_schema, evolve_schema
 from .merge import _check_write_consistency
-from .skew import plan_bucket_splits, with_salted_split
+from .skew import plan_bucket_splits, with_salted_split, write_exchange_partitions
 
 
 @dataclass
@@ -121,9 +121,18 @@ def merge_append(
     obs = Observation()
     pre = with_salted_split(
         batch.withColumn("b", table.bucket_expr()), "b", splits, salt_cols=keys
-    ).repartition("b", "_split")
+    )
+    # When no bucket is hot, _split is the constant 0: keep it OUT of the
+    # exchange and grouping keys — a folded literal in the partitioning
+    # no longer semantically matches the agg's aliased grouping key, and
+    # Catalyst would insert a second full-payload exchange (plan-tested).
+    part_cols = ["b", "_split"] if any(int(n) > 1 for n in splits.values()) else ["b"]
+    # explicit exchange width from the group count, not the core count —
+    # avoids both the narrow-width sort-agg spill and the wide-width
+    # collision tail (operators/skew.write_exchange_partitions)
+    pre = pre.repartition(write_exchange_partitions(pre, splits), *part_cols)
     to_write = (
-        pre.groupBy("b", "_split", *keys)
+        pre.groupBy(*part_cols, *keys)
         .agg(winner, F.count(F.lit(1)).alias("_n"))
         .observe(
             obs,
@@ -273,6 +282,7 @@ def compact(
     new_files = table.write_data_files(
         to_write, table.schema(cur), cur["schema_version"], sort_by=table.merge_keys,
         mark_base=(mode == "major"),
+        num_partitions=write_exchange_partitions(to_write, splits),
     )
     _check_write_consistency(int(obs.get["rows"]), new_files)
 

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..sources.lake import DML_SEQ_COL, LSN_COL, TOMBSTONE_COL, DataFile, LakeTable
 from .evolve import align_to_schema, evolve_schema
-from .skew import plan_bucket_splits, with_salted_split
+from .skew import plan_bucket_splits, with_salted_split, write_exchange_partitions
 
 
 @dataclass
@@ -194,9 +194,18 @@ def merge_into(
         order_struct = F.struct(F.col(LSN_COL), F.col(DML_SEQ_COL), F.col("_src"))
         pre = with_salted_split(
             combined.withColumn("b", table.bucket_expr()), "b", splits, salt_cols=keys
-        ).repartition("b", "_split")
+        )
+        # _split is the constant 0 when no bucket is hot: exclude it from
+        # the exchange/grouping keys or the folded literal stops matching
+        # the agg's clustering and Catalyst adds a second exchange
+        part_cols = (
+            ["b", "_split"] if any(int(n) > 1 for n in splits.values()) else ["b"]
+        )
+        # explicit exchange width from the group count, not the core
+        # count (operators/skew.write_exchange_partitions)
+        pre = pre.repartition(write_exchange_partitions(pre, splits), *part_cols)
         resolved = (
-            pre.groupBy("b", "_split", *keys)
+            pre.groupBy(*part_cols, *keys)
             .agg(
                 F.max_by(winner_struct, order_struct).alias("_w"),
                 F.sum(F.when(F.col("_src") == 0, 1).otherwise(0)).alias("_n_table"),

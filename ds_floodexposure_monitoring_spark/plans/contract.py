@@ -1485,3 +1485,73 @@ def transcript_assembly_arrow(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         assemble, "user_id long, n_turns long, transcript string"
     )
+
+
+def _events_duckdb(spark: SparkSession, sf: str) -> str:
+    """Deterministic embedded operational-DB stand-in, memoized per sf:
+    the events parquet loaded once into a DuckDB file (the reference's
+    Azure Postgres, minus the network). Built atomically so a crashed
+    build never leaves a half-written file behind."""
+    import hashlib
+    import tempfile
+
+    import duckdb
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"sparkgraft-opdb-{tag}.duckdb")
+    if os.path.exists(path):
+        return path
+    tmp = f"{path}.build-{os.getpid()}"
+    con = duckdb.connect(tmp)
+    try:
+        src = os.path.join(sf, "events.parquet")
+        con.execute(f"CREATE TABLE events AS SELECT * FROM '{src}'")
+    finally:
+        con.close()
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.remove(tmp)  # concurrent builder won; theirs is identical
+    return path
+
+
+@_reg(
+    "jdbc_scan",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
+           MAX(ts) AS last_ts
+    FROM events
+    WHERE value >= 50
+    GROUP BY event_type
+    """,
+    note="JDBC-shaped partitioned SQL ingest (SURVEY §2.1, the last "
+         "reference residual — utils/database.py:83 pd.read_sql): the "
+         "driver plans stride splits on event_id exactly like Spark's "
+         "JDBC partitionColumn/lowerBound/upperBound options, each "
+         "executor task fetches ONE split from its own read-only "
+         "embedded-DB connection as Arrow batches (mapInArrow), and the "
+         "value>=50 predicate + column projection push down into every "
+         "split's WHERE/SELECT — DB-side filtering, never driver-side "
+         "materialization; swapping the embedded connection for a real "
+         "JDBC driver changes nothing structural",
+)
+def jdbc_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.jdbc import read_sql
+
+    db = _events_duckdb(spark, sf)
+    ev = read_sql(
+        spark,
+        db,
+        "events",
+        partition_column="event_id",
+        num_partitions=8,
+        predicate="value >= 50",
+        columns=("event_type", "value", "ts"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(_msum("value"), 6).alias("total"),
+        F.max("ts").alias("last_ts"),
+    )

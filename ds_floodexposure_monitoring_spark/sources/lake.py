@@ -1889,6 +1889,7 @@ class LakeTable:
         sort_by: list[str] | None = None,
         pre_partitioned: bool = False,
         mark_base: bool = False,
+        num_partitions: int | None = None,
     ) -> list[DataFile]:
         """Write rows (table-schema columns + _lsn + 'b' bucket + '_split')
         as new parquet data files and return their metadata.
@@ -1936,6 +1937,12 @@ class LakeTable:
 
         if pre_partitioned:
             to_write = df.drop("_split") if "_split" in df.columns else df
+        elif num_partitions:
+            # exchange width from the data layout (group count), not the
+            # core count — see operators/skew.write_exchange_partitions
+            to_write = df.repartition(
+                num_partitions, F.col("b"), F.col("_split")
+            ).drop("_split")
         else:
             to_write = df.repartition(F.col("b"), F.col("_split")).drop("_split")
         if pspec:

@@ -161,10 +161,17 @@ def test_merge_paths_single_exchange(spark, tmp_path):
         merge_mod.merge_into(t2, batch)
         # COW second batch: existing files + batch resolve, still one
         merge_mod.merge_into(t2, batch.withColumn("lsn", batch.lsn + 1000))
+        # HOT-bucket path: a splits hint >1 switches _split from the
+        # constant-0 fast path to the inline-map expression — the
+        # exchange/agg fusion must survive that shape too
+        t3 = LakeTable.create(spark, str(tmp_path / "hot"), schema, n_buckets=8)
+        compact_mod.merge_append(
+            t3, batch, splits_hint={b: (3 if b == 0 else 1) for b in range(8)}
+        )
     finally:
         LakeTable.write_data_files = orig
 
-    assert len(plans) == 3
+    assert len(plans) == 4
     for p in plans:
         ex = re.findall(r"\(\d+\) Exchange", p)
         # broadcast exchange for the splits dim is fine; count only

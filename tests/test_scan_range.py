@@ -98,3 +98,39 @@ def test_multimodal_kernels_skip_null_payloads(spark):
     assert {r.doc_id for r in histogram_features(df).collect()} == {1}
     assert {r.doc_id for r in resample_payload(df).collect()} == {1}
     assert {r.doc_id for r in sample_frames(df).collect()} == {1}
+
+
+def test_multimodal_decoder_pluggable(spark):
+    """decode_payload: registered decoders win, codec magics without a
+    decoder raise loudly, non-codec payloads use the deterministic fake
+    — and registered decoders reach EXECUTORS (captured by value at
+    plan-build time, not looked up in the worker's module globals)."""
+    import pytest as _pytest
+
+    from ds_floodexposure_monitoring_spark.functions import multimodal as mm
+
+    png = b"\x89PNG\r\n\x1a\n" + b"x" * 100
+    # no decoder available in this container -> loud failure
+    with _pytest.raises(NotImplementedError):
+        mm.decode_payload(png)
+    # non-codec payloads keep the deterministic fake
+    meta = mm.decode_payload(b"hello world")
+    assert meta == {"n_bytes": 11, "width": 11, "height": 77, "n_frames": 12}
+
+    def fake_png(payload):
+        if payload[:4] != b"\x89PNG":
+            return None
+        return {"n_bytes": len(payload), "width": 64, "height": 32, "n_frames": 1}
+
+    mm.register_decoder(fake_png)
+    try:
+        assert mm.decode_payload(png, tuple(mm._DECODERS))["width"] == 64
+        # end-to-end through the Arrow plumbing on executors
+        df = spark.createDataFrame(
+            [(1, png), (2, b"plain bytes")], "doc_id long, payload binary"
+        )
+        rows = {r["doc_id"]: r for r in mm.decode_metadata(df).collect()}
+        assert rows[1]["width"] == 64 and rows[1]["n_frames"] == 1
+        assert rows[2]["width"] == len(b"plain bytes") % 640
+    finally:
+        mm._DECODERS.remove(fake_png)

@@ -45,3 +45,43 @@ def test_unknown_bucket_defaults_to_single_split(spark):
     df = spark.createDataFrame([("c9", 3, 5)], "conv_id string, turn_idx int, b int")
     out = with_salted_split(df, "b", {0: 4})  # bucket 5 absent from plan
     assert out.select("_split").collect()[0][0] == 0
+
+
+def test_all_cold_buckets_constant_split_no_join(spark):
+    """splits all 1 → _split is the literal 0 and the plan carries no
+    join/broadcast at all (removes a per-batch broadcast job from the
+    steady-state ingest loop)."""
+    df = spark.range(100).selectExpr("CAST(id % 8 AS INT) b", "id conv_id", "id turn_idx")
+    out = with_salted_split(df, "b", {b: 1 for b in range(8)})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Broadcast" not in plan
+    assert {r[0] for r in out.select("_split").distinct().collect()} == {0}
+
+
+def test_few_hot_buckets_inline_map_no_join(spark):
+    """a handful of hot buckets → literal-map lookup, still no join."""
+    df = spark.range(4000).selectExpr("CAST(id % 8 AS INT) b", "id conv_id", "id turn_idx")
+    out = with_salted_split(df, "b", {0: 4, 1: 1, 2: 2})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Broadcast" not in plan
+    got = {
+        (r["b"], r["_split"])
+        for r in out.select("b", "_split").distinct().collect()
+    }
+    assert {s for b, s in got if b == 0} == {0, 1, 2, 3}
+    assert {s for b, s in got if b == 2} == {0, 1}
+    assert all({s for bb, s in got if bb == b} == {0} for b in (1, 3, 4, 5, 6, 7))
+
+
+def test_many_hot_buckets_falls_back_to_broadcast_join(spark):
+    """>256 distinct hot buckets → the broadcast-join path, same
+    semantics."""
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 300 AS INT) b", "id conv_id", "id turn_idx"
+    )
+    splits = {b: 2 for b in range(300)}
+    out = with_salted_split(df, "b", splits)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+    vals = {r[0] for r in out.select("_split").distinct().collect()}
+    assert vals == {0, 1}
