@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_PRIORITY = (
     # new in round 4
     "jdbc_scan",
+    "pii_scrub",
     # never driver-checked through round 3
     "multimodal_features",
     "multimodal_resize",

@@ -56,6 +56,7 @@ HEADLINE = [
     "neardup_clusters",
     "partition_pruned_scan",
     "jdbc_scan",
+    "pii_scrub",
     "stratified_sample",
     "pack_sequences",
     "contamination_flags",

@@ -890,6 +890,42 @@ def quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_DIGITS = r"\d{6,}"
+
+
+@_reg(
+    "pii_scrub",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_DIGITS}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+    note="PII scrubbing for training-data curation: email-shaped tokens "
+         "and long digit runs (ids/phones/SSN-ish) redacted to typed "
+         "placeholders, with per-doc redaction counts — pure JVM "
+         "regexp_replace/regexp_count (codegen'd, one scan, zero "
+         "shuffles, no Python); the oracle compares the scrubbed text "
+         "by md5 so values stay compact. The regexes are deliberately "
+         "RE2-compatible (no lookarounds) so the same patterns run on "
+         "Spark (Java regex) and vectorized engines alike",
+)
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_DIGITS, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_DIGITS)).cast("long").alias("n_digit_runs"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 @_reg(
     "token_count",
     f"""

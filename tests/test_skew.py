@@ -85,3 +85,22 @@ def test_many_hot_buckets_falls_back_to_broadcast_join(spark):
     assert "Join" in plan
     vals = {r[0] for r in out.select("_split").distinct().collect()}
     assert vals == {0, 1}
+
+
+def test_write_exchange_partitions_sizing(spark):
+    """Layout-driven exchange width: 4x over-partition only when the
+    reduce stage would be shallow (groups < 4x cores); exact group
+    count when waves are plentiful; always floored by the session
+    default."""
+    from ds_floodexposure_monitoring_spark.operators.skew import (
+        write_exchange_partitions,
+    )
+
+    df = spark.range(10)
+    cores = spark.sparkContext.defaultParallelism
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shallow = {b: 1 for b in range(max(1, cores))}  # groups < 4*cores
+    assert write_exchange_partitions(df, shallow) == max(4 * len(shallow), base)
+    deep = {b: 1 for b in range(8 * cores)}  # groups >= 4*cores
+    assert write_exchange_partitions(df, deep) == max(8 * cores, base)
+    assert write_exchange_partitions(df, {}) >= base
