@@ -1964,19 +1964,37 @@ class LakeTable:
             )
 
         mode = os.environ.get("SPARK_GRAFT_WRITER", "arrow")
-        if mode == "arrow":
-            metas = to_write.mapInArrow(
-                _make_task_writer(
-                    commit_dir, self.path, key0, stat_cols, schema_version,
-                    partitioned=bool(pspec),
-                ),
-                schema="meta string",
-            ).collect()
-            files = [DataFile.from_json(json.loads(r["meta"])) for r in metas]
-        else:
-            files = self._write_jvm(
-                to_write, commit_dir, key0, stat_cols, schema_version, bool(pspec)
-            )
+        # AQE adds a driver-side re-plan round trip per materialized
+        # exchange, and this job's one exchange is already sized
+        # explicitly from the data layout (write_exchange_partitions) —
+        # AQE has nothing to decide here and its stage materialization
+        # costs a consistent ~5% of replay wall (same-epoch A/B: 906K
+        # vs 838K ev/s on the 16.8M-event replay). Disabled around the
+        # write action only, prior value restored; opt out with
+        # SPARK_GRAFT_WRITE_AQE=on (e.g. if a shared session runs
+        # concurrent queries on other threads).
+        aqe_key = "spark.sql.adaptive.enabled"
+        prev_aqe = self.spark.conf.get(aqe_key)
+        toggle = os.environ.get("SPARK_GRAFT_WRITE_AQE", "off") == "off"
+        if toggle:
+            self.spark.conf.set(aqe_key, "false")
+        try:
+            if mode == "arrow":
+                metas = to_write.mapInArrow(
+                    _make_task_writer(
+                        commit_dir, self.path, key0, stat_cols, schema_version,
+                        partitioned=bool(pspec),
+                    ),
+                    schema="meta string",
+                ).collect()
+                files = [DataFile.from_json(json.loads(r["meta"])) for r in metas]
+            else:
+                files = self._write_jvm(
+                    to_write, commit_dir, key0, stat_cols, schema_version, bool(pspec)
+                )
+        finally:
+            if toggle:
+                self.spark.conf.set(aqe_key, prev_aqe)
         if mark_base:
             # caller performed a bucket-complete resolve: flag the files
             # so minor compaction exempts exactly them (DataFile.base)
