@@ -41,6 +41,7 @@ _CHECK_PRIORITY = (
     # new in round 4
     "jdbc_scan",
     "pii_scrub",
+    "domain_mix_sample",
     # never driver-checked through round 3
     "multimodal_features",
     "multimodal_resize",

@@ -58,6 +58,7 @@ HEADLINE = [
     "jdbc_scan",
     "pii_scrub",
     "stratified_sample",
+    "domain_mix_sample",
     "pack_sequences",
     "contamination_flags",
     "transcript_assembly",

@@ -1107,35 +1107,49 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 def _stratified_sample_plan(
     d: DataFrame, k: int, safety: int = 4
 ) -> DataFrame:
-    """Hash-cutoff stratified top-K (see registry note).
+    """Hash-cutoff stratified top-K: constant quota K per stratum."""
+    sizes = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    return _hash_rank_quota_plan(d, {s: k for s in sizes}, sizes, safety)
+
+
+def _hash_rank_quota_plan(
+    d: DataFrame, quotas: dict, sizes: dict, safety: int = 4
+) -> DataFrame:
+    """Per-stratum deterministic top-``quotas[stratum]`` by hash rank,
+    with a hash-cutoff prefilter bounding the window's exchange (see
+    the stratified_sample registry note).
 
     Exactness argument: ordering is (rank_key, doc_id) with rank_key a
     fixed-width lowercase-hex string, and the prefilter keeps exactly
     the rows whose first-8-hex prefix is <= the stratum cutoff. Any
     dropped row therefore sorts strictly AFTER every kept row, so when a
-    stratum retains >= min(K, stratum_size) survivors its survivor-only
-    top-K equals the global top-K. Strata smaller than safety*K keep a
-    cutoff of 'ffffffff' (everything survives); larger strata that
-    still under-fill (hash-skew tail, probability ~exp(-K) by Chernoff
-    on Binomial(n, safety*K/n)) are re-run through the full window and
-    unioned — the common path stays bounded, the rare path stays exact.
+    stratum retains >= min(quota, stratum_size) survivors its
+    survivor-only top-quota equals the global top-quota. Strata smaller
+    than safety*quota keep a cutoff of 'ffffffff' (everything
+    survives); larger strata that still under-fill (hash-skew tail,
+    probability ~exp(-quota) by Chernoff on Binomial(n, safety*q/n))
+    are re-run through the full window and unioned — the common path
+    stays bounded, the rare path stays exact. Strata absent from
+    ``quotas`` are excluded (inner join on the quota dim).
     """
     rank_key = _hhex(F.col("doc_id").cast("string"), "samp")
     base = d.select("lang", "doc_id", "n_chars", rank_key.alias("rk"))
     spark = d.sparkSession
-
-    # pass 1: stratum sizes (map-side partials; #strata rows collected)
-    sizes = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     full = 0xFFFFFFFF
 
-    def cutoff(n: int) -> str:
-        want = safety * k
+    def cutoff(stratum: str) -> str:
+        want = safety * quotas[stratum]
+        n = sizes.get(stratum, 0)
         c = full if n <= want else min(full, int(full * want / n) + 1)
         return f"{c:08x}"
 
     cut_df = F.broadcast(
         spark.createDataFrame(
-            [(lang, cutoff(n)) for lang, n in sizes.items()], "lang string, cut string"
+            [(s, int(q), cutoff(s)) for s, q in quotas.items()],
+            "lang string, quota long, cut string",
         )
     )
     survivors = base.join(cut_df, "lang").where(
@@ -1149,20 +1163,74 @@ def _stratified_sample_plan(
         for r in survivors.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     shortfall = [
-        lang for lang, n in sizes.items() if got.get(lang, 0) < min(k, n)
+        s for s, q in quotas.items()
+        if got.get(s, 0) < min(q, sizes.get(s, 0))
     ]
     pool = survivors.drop("cut")
     if shortfall:
         pool = pool.where(~F.col("lang").isin(shortfall)).unionByName(
-            base.where(F.col("lang").isin(shortfall))
+            base.join(cut_df.select("lang", "quota"), "lang").where(
+                F.col("lang").isin(shortfall)
+            )
         )
 
     w = Window.partitionBy("lang").orderBy("rk", "doc_id")
     return (
-        pool.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= k)
-        .drop("rn")
+        pool.select(
+            "lang", "doc_id", "n_chars", "quota",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= F.col("quota"))
+        .drop("rn", "quota")
     )
+
+
+MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())
+
+
+@_reg(
+    "domain_mix_sample",
+    f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    w(lang, wt) AS (VALUES {_MIX_VALUES}),
+    nout AS (SELECT MIN(FLOOR(n / wt)) AS m FROM c JOIN w USING (lang)),
+    q AS (SELECT w.lang, CAST(FLOOR(wt * m) AS BIGINT) AS quota FROM w, nout)
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT d.lang, d.doc_id, d.n_chars, q.quota,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY {_hhex_sql('CAST(d.doc_id AS VARCHAR)', 'samp')}, d.doc_id
+             ) AS rn
+      FROM documents d JOIN q ON q.lang = d.lang
+    ) WHERE rn <= quota
+    """,
+    note="domain/source mixing for training-data curation: given target "
+         "mix weights over a stratum key, take the LARGEST corpus "
+         "achieving the mix exactly — N_out = min over strata of "
+         "floor(count/weight) (the binding stratum is fully consumed at "
+         "its weight), per-stratum quota = floor(weight * N_out), "
+         "members chosen by deterministic hash rank. Same bounded "
+         "two-pass shape as stratified_sample: stratum counts -> "
+         "quotas on the driver (#strata rows) -> hash-cutoff map-side "
+         "prefilter -> window over ~safety*quota survivors only, exact "
+         "fallback for under-filled strata",
+)
+def domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic max-volume corpus at a target language mix."""
+    import math
+
+    d = table(spark, sf, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # IEEE-double arithmetic in the same order as the SQL oracle
+    n_out = min(
+        math.floor(sizes.get(s, 0) / w) for s, w in MIX_WEIGHTS.items()
+    )
+    quotas = {s: int(math.floor(w * n_out)) for s, w in MIX_WEIGHTS.items()}
+    return _hash_rank_quota_plan(d, quotas, sizes)
 
 
 PACK_BUDGET = 2048  # whitespace tokens per packed training sequence
