@@ -9,7 +9,11 @@ where ANSI-expressible (rows-only otherwise).
 
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
+import weakref
+import zipfile
 from collections.abc import Callable
 from pathlib import Path
 
@@ -25,9 +29,48 @@ from ds_floodexposure_monitoring_spark.plans.flagship import (  # noqa: E402
     flagship,
 )
 
+# Contexts the package zip was already shipped to (WeakSet: a torn-down
+# context drops out; no id() aliasing after GC).
+_SHIPPED: weakref.WeakSet = weakref.WeakSet()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on Python WORKERS regardless of the
+    driver's cwd/PYTHONPATH — the ``spark-submit --py-files`` analog,
+    done in-process: zip the package once and ``sc.addPyFile`` it.
+
+    Executor-side closures that reference module-level helpers (the
+    multimodal Arrow kernels, the stateful-streaming functions)
+    cloudpickle BY REFERENCE: the worker re-imports the module by name
+    at task deserialization. A harness that imports this file from
+    outside the repo (sys.path fixed above covers only the DRIVER)
+    otherwise dies in the worker with ModuleNotFoundError. addPyFile
+    entries travel with every task and are sys.path-inserted before the
+    command unpickles, so this covers already-forked daemon workers too.
+    """
+    sc = spark.sparkContext
+    if sc in _SHIPPED:
+        return
+    pkg = os.path.join(_REPO, "ds_floodexposure_monitoring_spark")
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"dsfm-pkg-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(pkg):
+                for fname in sorted(files):
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        z.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(sc)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     return flagship(spark, "/root/testdata/sf0.001")
 
 
@@ -74,12 +117,20 @@ def _ordered_names() -> list[str]:
     return front + rest
 
 
+def _with_ship(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "flagship_daily_health": flagship
+        "flagship_daily_health": _with_ship(flagship)
     }
     for name in _ordered_names():
-        out[name] = REGISTRY[name].fn
+        out[name] = _with_ship(REGISTRY[name].fn)
     return out
 
 

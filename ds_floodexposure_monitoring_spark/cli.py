@@ -91,6 +91,7 @@ def cmd_ingest(args) -> int:
             stat_cols=tuple(c for c in args.stat_cols.split(",") if c)
             if args.stat_cols else (),
             partition_by=args.partition_by,
+            key_bloom_bits=args.key_bloom_bits,
         )
     if args.branch:
         table = table.on_branch(args.branch)
@@ -396,6 +397,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated non-key columns to keep per-file min/max stats for")
     i.add_argument("--partition-by", default=None,
                    help="value-partition transform, e.g. days(ts) (Iceberg partition-spec analog)")
+    i.add_argument("--key-bloom-bits", type=int, default=0,
+                   help="per-file manifest bloom over the first merge key "
+                        "(bits; 0=off) for point-lookup file skipping")
     i.add_argument("--batch-events", type=int, default=1_000_000)
     i.add_argument("--rows-per-file", type=int, default=2_000_000)
     i.add_argument("--mode", choices=("cow", "mor"), default="mor")

@@ -108,7 +108,7 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
 
 def _staged_events_table(
     spark: SparkSession, sf: str, tag: str, stat_cols: tuple = (),
-    partition_by: str | None = None,
+    partition_by: str | None = None, key_bloom_bits: int = 0,
 ):
     """Build a MOR lake table from `events` in 3 LSN-ordered batches
     (thirds of event_id), returning (table, [version after each batch]).
@@ -132,6 +132,7 @@ def _staged_events_table(
     t = LakeTable.create(
         spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
         n_buckets=8, stat_cols=stat_cols, partition_by=partition_by,
+        key_bloom_bits=key_bloom_bits,
     )
     hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
     cuts = [hi // 3, 2 * hi // 3, hi]
@@ -176,8 +177,12 @@ def _staged_events_table_shared(
         if t.version == versions[-1]:
             return t, versions
     tag = "ro" + ("p" if partition_by else "") + ("s" if stat_cols else "")
+    # manifest key blooms on the shared staged table: exercised (as an
+    # integral-key bloom over user_id) by every point_lookup_lake run —
+    # pruning is transparent to results, so all consumers stay oracle-exact
     t, versions = _staged_events_table(
-        spark, sf, tag, stat_cols=stat_cols, partition_by=partition_by
+        spark, sf, tag, stat_cols=stat_cols, partition_by=partition_by,
+        key_bloom_bits=1 << 13,
     )
     per[key] = (t, versions)
     return t, versions
@@ -335,11 +340,14 @@ def timerange_scan(spark: SparkSession, sf: str) -> DataFrame:
     """,
     note="metadata-pruned point lookup on a MOR lake table: each key's "
          "bucket comes from the exact on-write hash and only files whose "
-         "(bucket, min/max key range) can hold a requested key are "
-         "opened — O(keys) metadata + O(matching files) I/O, the 'read "
-         "one conversation out of 10^10 rows' path; LWW-complete under "
-         "MOR because every version of a requested key shares its "
-         "bucket and key value (LakeTable.prune_for_keys/lookup)",
+         "(bucket, min/max key range, manifest key bloom) can hold a "
+         "requested key are opened — O(keys) metadata + O(matching "
+         "files) I/O, the 'read one conversation out of 10^10 rows' "
+         "path; the per-file bloom (key_bloom_bits at create) is what "
+         "skips same-bucket delta files whose key RANGE overlaps but "
+         "which cannot hold the key; LWW-complete under MOR because "
+         "every version of a requested key shares its bucket and key "
+         "value (LakeTable.prune_for_keys/lookup)",
 )
 def point_lookup_lake(spark: SparkSession, sf: str) -> DataFrame:
     """3 MOR batches, then lookup(user_ids 1..8) — resolved live rows

@@ -92,6 +92,15 @@ class DataFile:
     # splits output by partition value), unlike col_stats' min/max
     # envelope. None on unpartitioned tables / pre-spec files.
     part: int | str | None = None
+    # base64 bloom filter over this file's first-merge-key values
+    # (parquet column-index bloom analog, kept in the manifest so the
+    # DRIVER can skip files without any file I/O). Delta files inside a
+    # bucket have near-identical [min_key, max_key] envelopes — random
+    # conversation ids span the whole keyspace — so range pruning keeps
+    # every delta; the bloom restores O(1)-file point lookups. Written
+    # only when the table sets key_bloom_bits and the key is a string
+    # or integral column; None = never skipped by bloom.
+    key_bloom: str | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -108,6 +117,8 @@ class DataFile:
             d["base"] = True
         if self.part is not None:
             d["part"] = self.part
+        if self.key_bloom:
+            d["key_bloom"] = self.key_bloom
         return d
 
     @staticmethod
@@ -115,7 +126,7 @@ class DataFile:
         return DataFile(
             d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"),
             d["schema_version"], d.get("col_stats"), d.get("base", False),
-            d.get("part"),
+            d.get("part"), d.get("key_bloom"),
         )
 
 
@@ -413,6 +424,44 @@ def _predicate_bounds(spark, condition_sql: str) -> dict[str, tuple]:
     }
 
 
+_BLOOM_K = 6  # bloom hash count; the task writer inlines this value —
+# keep them equal (the closure is self-contained for pickling, see
+# _make_task_writer)
+_U64 = (1 << 64) - 1
+
+
+def _bloom_hash64(values: list, integral: bool = False):
+    """The ONE hash both bloom sides use: pandas' vectorized hash
+    (C-level siphash for object/string arrays, bit-mix for int64 —
+    no per-row Python), deterministic under the library's fixed
+    default hash key. The executor writer hashes every key value
+    through this; the driver probe hashes the handful of lookup
+    values through the same function, so a manifest bloom written on
+    any worker answers probes on any driver. ``integral`` pins the
+    dtype to int64 on BOTH sides — the numeric and object hash paths
+    differ, so the probe must take the same branch as the writer."""
+    import numpy as np
+    import pandas as pd
+
+    if integral:
+        return pd.util.hash_array(np.asarray(values, dtype=np.int64))
+    return pd.util.hash_array(np.asarray(values, dtype=object))
+
+
+def _bloom_might_contain(raw: bytes, h: int) -> bool:
+    """Probe one value (pre-hashed to ``h``) against a decoded bloom.
+    Double hashing g_j = h1 + j*h2 (Kirsch–Mitzenmacher), positions
+    mod the filter's bit count; arithmetic wraps mod 2^64 exactly like
+    the writer's uint64 numpy ops."""
+    m = len(raw) * 8
+    h1, h2 = h, ((h >> 33) | 1)
+    for j in range(_BLOOM_K):
+        pos = ((h1 + j * h2) & _U64) % m
+        if not (raw[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def _dedupe_task_attempts(paths: list[str]) -> list[str]:
     """Drop duplicate task-attempt outputs before manifest-building
     (jvm writer mode only; the arrow mode is structurally immune).
@@ -524,6 +573,8 @@ def _make_task_writer(
     rows_per_group: int = 1 << 17,
     partitioned: bool = False,
     max_open_writers: int = 64,
+    key_bloom_bits: int = 0,
+    key_bloom_int: bool = False,
 ):
     """Build the executor-side parquet writer for ``mapInArrow``.
 
@@ -569,6 +620,13 @@ def _make_task_writer(
     style): on overflow the least-recently-fed (bucket, partition) file
     is closed and its manifest entry recorded — a re-appearing key
     simply opens a second file, which the manifest supports.
+
+    ``key_bloom_bits`` (0 = off): additionally accumulate a bloom
+    filter over the file's ``key0`` values (vectorized: one pandas
+    siphash pass + numpy scatter per Arrow batch) and return it base64
+    in the manifest entry — drives driver-side point-lookup file
+    skipping (see DataFile.key_bloom). Must stay bit-compatible with
+    ``_bloom_hash64`` / ``_bloom_might_contain``.
     """
     drop_cols = ("b", "_split", "_p")
 
@@ -579,12 +637,17 @@ def _make_task_writer(
         import urllib.parse as _uparse
         import uuid as _uuid
 
+        import base64 as _b64
+
+        import numpy as _np
+        import pandas as _pd
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
         _epoch = _dt.datetime(1970, 1, 1)
+        _bloom_k = 6  # must equal lake._BLOOM_K (closure stays self-contained)
 
         def _scal(v):
             # mirror of lake._stat_scalar (kept inline so the closure has
@@ -626,6 +689,11 @@ def _make_task_writer(
                     }
                     or None,
                     "part": _scal(pv) if pv is not None else None,
+                    "key_bloom": (
+                        _b64.b64encode(st["bloom"].tobytes()).decode("ascii")
+                        if st.get("bloom") is not None
+                        else None
+                    ),
                 }
             )
 
@@ -633,6 +701,40 @@ def _make_task_writer(
             if st["buf_rows"]:
                 st["writer"].write_table(pa.Table.from_batches(st["buf"]))
                 st["buf"], st["buf_rows"] = [], 0
+
+        def update_bloom(st: dict, sub: "pa.RecordBatch") -> None:
+            # one vectorized siphash pass (pd.util.hash_array — must
+            # match lake._bloom_hash64) + Kirsch–Mitzenmacher double
+            # hashing, bits scattered with bitwise_or.at (duplicate-safe)
+            arr = st.get("bloom")
+            if arr is None:
+                return
+            i = sub.schema.get_field_index(key0)
+            if i < 0:
+                return
+            col = sub.column(i)
+            if col.null_count:
+                # a null key must never poison the hash dtype (int64
+                # with nulls pandas-converts to float64, changing every
+                # row's hash); nulls are un-probe-able anyway
+                col = col.drop_null()
+            if key_bloom_int:
+                vals = _np.asarray(
+                    col.cast(pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=_np.int64,
+                )
+            else:
+                vals = _np.asarray(col.to_pandas(), dtype=object)
+            h = _pd.util.hash_array(vals).astype(_np.uint64)
+            h2 = (h >> _np.uint64(33)) | _np.uint64(1)
+            m = _np.uint64(key_bloom_bits)
+            for j in range(_bloom_k):
+                pos = (h + _np.uint64(j) * h2) % m  # uint64 wrap, then mod m
+                _np.bitwise_or.at(
+                    arr,
+                    (pos >> _np.uint64(3)).astype(_np.int64),
+                    _np.uint8(1) << (pos & _np.uint64(7)).astype(_np.uint8),
+                )
 
         def update_bounds(st: dict, sub: "pa.RecordBatch") -> None:
             for c, cur in st["bounds"].items():
@@ -679,6 +781,11 @@ def _make_task_writer(
                 "buf_rows": 0,
                 "rows": 0,
                 "bounds": {c: None for c in [key0] + stat_cols},
+                "bloom": (
+                    _np.zeros(key_bloom_bits >> 3, dtype=_np.uint8)
+                    if key_bloom_bits
+                    else None
+                ),
             }
 
         def feed(key, sub, batch, keep_idx):
@@ -694,6 +801,7 @@ def _make_task_writer(
             clock[0] += 1
             st["last"] = clock[0]
             update_bounds(st, sub)
+            update_bloom(st, sub)
             st["buf"].append(sub.select(keep_idx))
             st["buf_rows"] += sub.num_rows
             st["rows"] += sub.num_rows
@@ -777,6 +885,7 @@ class LakeTable:
         n_buckets: int = 64,
         stat_cols: tuple[str, ...] = (),
         partition_by: str | None = None,
+        key_bloom_bits: int = 0,
     ) -> "LakeTable":
         """``stat_cols``: non-key columns whose per-file (min, max)
         footer stats are kept in the snapshot manifest, enabling
@@ -793,7 +902,19 @@ class LakeTable:
         (exact, no stats envelope), and whole partitions can be dropped
         by metadata alone (``drop_partitions`` — the cheap retention
         path the reference's ``{iso3}/{date}`` blob layout gives it,
-        reference: src/datasources/floodscan.py:346-352)."""
+        reference: src/datasources/floodscan.py:346-352).
+
+        ``key_bloom_bits`` (0 = off; else a multiple of 64, e.g. 1<<15
+        = 4 KiB per file): every data file's manifest entry carries a
+        bloom filter over its first-merge-key values, so point lookups
+        (``prune_for_keys``/``lookup``) skip delta files whose key
+        RANGE overlaps but which cannot hold the key — with random
+        conversation ids the per-bucket deltas all span the whole
+        keyspace, so range pruning alone keeps every delta and the
+        bloom is what makes 'read one conversation' O(1) files at
+        10^10 rows. String/integral first keys; sized for ~key_bloom_bits/10
+        distinct keys per file at ~1% false-keep (a bigger file just
+        degrades toward 'never skipped', never misses)."""
         t = cls(spark, path)
         if os.path.exists(os.path.join(t._meta_dir, "HEAD")):
             raise FileExistsError(f"table already exists at {path}")
@@ -815,6 +936,7 @@ class LakeTable:
             "bucket_seed": cls.BUCKET_SEED,
             "stat_cols": list(stat_cols),
             "partition_spec": pspec,
+            "key_bloom_bits": int(key_bloom_bits),
             "schema_version": 1,
             "schemas": {"1": json.loads(schema.json())},
             "files": [],
@@ -990,7 +1112,18 @@ class LakeTable:
         misses a file. At 10^10 rows this is the 'read one conversation'
         path: O(values) metadata work + a scan of only the few files
         that can match (reference analog: the per-(iso3, date) blob-key
-        addressing, src/datasources/floodscan.py:346-352)."""
+        addressing, src/datasources/floodscan.py:346-352).
+
+        When the table writes manifest key blooms (``key_bloom_bits``
+        at create), a surviving file is additionally probed against its
+        bloom: delta files in a bucket all span ~the whole keyspace
+        (random ids), so the range test keeps them all, and the bloom
+        is what cuts 'one conversation' from O(deltas-in-bucket) files
+        to the ~1 that actually holds it (±1% false keeps). Sound:
+        every key written to a file set its bloom bits, so a negative
+        probe proves absence; files without a bloom are kept."""
+        import base64 as _b64lib
+
         snap = snapshot or self.current()
         key0 = snap["merge_keys"][0]
         field = next(f for f in self.schema(snap).fields if f.name == key0)
@@ -1001,6 +1134,18 @@ class LakeTable:
         by_bucket: dict[int, list] = {}
         for r in rows:
             by_bucket.setdefault(r["b"], []).append(r[key0])
+        hmap: dict = {}
+        if any(d.get("key_bloom") for d in snap["files"]):
+            integral = isinstance(
+                field.dataType,
+                (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+            )
+            hmap = {
+                v: int(h)
+                for v, h in zip(
+                    values, _bloom_hash64(list(values), integral=integral)
+                )
+            }
         out = []
         for f in self.files(snap):
             vals = by_bucket.get(f.bucket)
@@ -1008,6 +1153,12 @@ class LakeTable:
                 continue
             if f.min_key is not None and f.max_key is not None:
                 if all(v < f.min_key or v > f.max_key for v in vals):
+                    continue
+            if f.key_bloom and hmap:
+                raw = _b64lib.b64decode(f.key_bloom)
+                if not any(
+                    _bloom_might_contain(raw, hmap[v]) for v in vals
+                ):
                     continue
             out.append(f)
         return out
@@ -1046,6 +1197,7 @@ class LakeTable:
             "bucket_seed": old.get("bucket_seed", 0),
             "stat_cols": old.get("stat_cols", []),
             "partition_spec": old.get("partition_spec"),
+            "key_bloom_bits": old.get("key_bloom_bits", 0),
             "schema_version": old["schema_version"],
             "schemas": old["schemas"],
             "renames": old.get("renames", []),
@@ -1298,6 +1450,7 @@ class LakeTable:
             "bucket_seed": cur.get("bucket_seed", 0),
             "stat_cols": cur.get("stat_cols", []),
             "partition_spec": cur.get("partition_spec"),
+            "key_bloom_bits": cur.get("key_bloom_bits", 0),
             "schema_version": cur["schema_version"],
             "schemas": cur["schemas"],
             "renames": cur.get("renames", []),
@@ -1706,6 +1859,7 @@ class LakeTable:
             "bucket_seed": cur.get("bucket_seed", 0),
             "stat_cols": cur.get("stat_cols", []),
             "partition_spec": cur.get("partition_spec"),
+            "key_bloom_bits": cur.get("key_bloom_bits", 0),
             "schema_version": schema_version,
             "schemas": schemas,
             # rename chain (Iceberg field-ID mapping analog): applied at
@@ -1927,13 +2081,27 @@ class LakeTable:
           DISTRIBUTED job (``parallelize(paths) → footer read``) — the
           driver does one directory listing and receives one small dict
           per file. Data never leaves the JVM; the fallback if a
-          deployment forbids Python workers on the write path.
+          deployment forbids Python workers on the write path. This
+          mode does not produce manifest key blooms (key_bloom_bits);
+          point-lookup pruning falls back to bucket+range only.
         """
         commit_dir = f"data/c{uuid.uuid4().hex[:12]}"
         key0 = self.merge_keys[0]
         cur = self.current()
         stat_cols = list(cur.get("stat_cols", []))
         pspec = cur.get("partition_spec")
+        kb_bits = int(cur.get("key_bloom_bits") or 0)
+        key_field = next(
+            (f for f in write_schema.fields if f.name == key0), None
+        )
+        kb_int = key_field is not None and isinstance(
+            key_field.dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        )
+        if key_field is None or not (
+            kb_int or isinstance(key_field.dataType, T.StringType)
+        ):
+            kb_bits = 0  # blooms only over string/integral first keys
 
         if pre_partitioned:
             to_write = df.drop("_split") if "_split" in df.columns else df
@@ -1983,7 +2151,8 @@ class LakeTable:
                 metas = to_write.mapInArrow(
                     _make_task_writer(
                         commit_dir, self.path, key0, stat_cols, schema_version,
-                        partitioned=bool(pspec),
+                        partitioned=bool(pspec), key_bloom_bits=kb_bits,
+                        key_bloom_int=kb_int,
                     ),
                     schema="meta string",
                 ).collect()
