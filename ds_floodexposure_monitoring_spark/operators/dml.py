@@ -164,25 +164,45 @@ def delete_matching(
     keys_df,
     key_col: str | None = None,
     target_rows_per_file: int = 2_000_000,
+    max_pointwise_keys: int = 1024,
 ) -> DmlStats | None:
     """DELETE by key set (the ``DELETE WHERE key IN (SELECT …)`` form —
     the realistic GDPR shape: erase a LIST of conversation/user ids).
 
     ``keys_df`` is a one-column DataFrame of first-merge-key values.
-    Touched buckets come from hashing the key set itself (distinct over
+    Small key sets (≤ ``max_pointwise_keys`` after distinct) take the
+    FILE-granular path: the doomed files come from
+    ``prune_for_keys`` (bucket + min/max range + manifest key bloom),
+    so at 10^10 rows erasing K conversations rewrites the O(K) files
+    that can actually hold them — not K whole buckets (the bloom is
+    what beats range pruning when same-bucket delta files all span the
+    keyspace). The rewrite is VERBATIM-minus-doomed-rows per file (raw
+    scan, no LWW fold), so resolution state is untouched and no key
+    closure is needed; base/delta manifest flags are preserved.
+
+    Larger key sets fall back to the bucket-granular path: touched
+    buckets come from hashing the key set itself (distinct over
     ≤ n_buckets values — never a table scan), the rewrite is a LEFT ANTI
     join of just those buckets' resolved rows against the key set, and
     every other bucket carries over by metadata reference. The key set
     may be arbitrarily large — it stays distributed throughout (AQE
     broadcasts it when small). Unlike delete_where, matching TOMBSTONES
-    are erased too: GDPR erasure removes every trace of the key,
-    accepting that a still-in-flight older event for it would re-insert
-    (standard CDC semantics, same as the live-row case)."""
+    are erased too (both paths): GDPR erasure removes every trace of
+    the key, accepting that a still-in-flight older event for it would
+    re-insert (standard CDC semantics, same as the live-row case)."""
     # key_col names the column IN keys_df; joins always run under the
     # table's first merge-key name
     key0 = table.merge_keys[0]
     src_col = key_col or key0
     keys = keys_df.select(F.col(src_col).alias(key0)).distinct()
+    head = keys.limit(max_pointwise_keys + 1).collect()
+    if not head:
+        return None
+    if len(head) <= max_pointwise_keys:
+        vals = [r[key0] for r in head if r[key0] is not None]
+        if not vals:
+            return None
+        return _delete_matching_pointwise(table, vals, target_rows_per_file)
     bucket_rows = (
         keys.select(table.bucket_expr(key_col=key0).alias("b")).distinct().collect()
     )
@@ -206,6 +226,79 @@ def delete_matching(
         return doomed
 
     return _rewrite(table, buckets, matched, transform, "delete-matching", target_rows_per_file)
+
+
+def _delete_matching_pointwise(
+    table: LakeTable, vals: list, target_rows_per_file: int
+) -> DmlStats | None:
+    """File-granular GDPR erase for a bounded key list.
+
+    ``prune_for_keys`` is SOUND (a file it drops cannot hold any doomed
+    key — bucket hash, min/max range, and the manifest key bloom all
+    prove absence), so every version of every doomed key lives in the
+    kept files; rewriting those verbatim-minus-doomed erases the keys
+    completely. The rewrite is strictly per-row (raw scan,
+    ``resolve=False``): no partial LWW fold of other keys whose version
+    chains extend outside the file subset, so ``requires_resolve`` and
+    the base/delta manifest flags carry through unchanged and no
+    key-closure expansion is needed — the exact reason this path can
+    touch O(keys) files where the resolving bucket path must take whole
+    buckets."""
+    key0 = table.merge_keys[0]
+    cur = table.current()
+    victims = table.prune_for_keys(vals, snapshot=cur)
+    if not victims:
+        return None
+    # exact live-match count: resolved lookup over the same pruned set
+    # (sound per prune_for_keys; non-doomed keys are filtered out)
+    matched = table.lookup(vals).count()
+    keep = ~F.coalesce(F.col(key0).isin(vals), F.lit(False))
+
+    new_files = []
+    total_rows = 0
+    # base and delta victims are written separately so each rewritten
+    # file keeps its manifest flag (a base demoted to delta would get
+    # refolded by the next minor compaction — the jumbo-delta problem
+    # the flag exists to prevent)
+    for mark_base in (True, False):
+        group = [f for f in victims if f.base == mark_base]
+        if not group:
+            continue
+        df = table.scan(files=group, include_internal=True, resolve=False)
+        out = df.where(keep).withColumn("b", table.bucket_expr())
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        per_bucket: dict[int, int] = {}
+        for f in group:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + f.rows
+        splits = plan_bucket_splits(list(per_bucket.items()), target_rows_per_file)
+        to_write = with_salted_split(out, "b", splits, salt_cols=table.merge_keys)
+        written = table.write_data_files(
+            to_write, table.schema(cur), cur["schema_version"],
+            sort_by=table.merge_keys, mark_base=mark_base,
+        )
+        _check_write_consistency(int(obs.get["rows"]), written)
+        new_files.extend(written)
+        total_rows += sum(f.rows for f in written)
+
+    snap = table.commit(
+        {f.path for f in victims},
+        new_files,
+        operation="delete-matching",
+        expected_parent_version=cur["version"],
+        summary_extra={
+            "buckets_rewritten": len({f.bucket for f in victims}),
+            "rows_matched": matched,
+            "pointwise_files": len(victims),
+        },
+    )
+    return DmlStats(
+        buckets_rewritten=len({f.bucket for f in victims}),
+        files_removed=len(victims),
+        files_added=len(new_files),
+        rows_matched=matched,
+        snapshot_version=snap["version"],
+    )
 
 
 def update_where(

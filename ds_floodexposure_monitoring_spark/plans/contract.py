@@ -465,15 +465,23 @@ def dml_delete_where(spark: SparkSession, sf: str) -> DataFrame:
     SELECT user_id, event_type, value, ts FROM s WHERE user_id % 3 <> 0
     """,
     note="DELETE by key set (DELETE WHERE key IN (SELECT ...)): the "
-         "realistic GDPR shape — erase a LIST of ids. Touched buckets "
-         "come from hashing the key set itself (never a table scan); "
-         "the rewrite anti-joins only those buckets against the key "
-         "set, which stays distributed (AQE broadcasts when small)",
+         "realistic GDPR shape — erase a LIST of ids. Small key sets "
+         "take the FILE-granular path: doomed files from prune_for_keys "
+         "(bucket + range + manifest key bloom), rewritten verbatim-"
+         "minus-doomed with no LWW fold, so erasing K conversations at "
+         "10^10 rows rewrites O(K) files, not K buckets. Large key "
+         "sets fall back to bucket-granular: touched buckets from "
+         "hashing the key set itself (never a table scan), anti-join "
+         "rewrite, key set stays distributed (AQE broadcasts when "
+         "small). At sf0.01 this query runs the pointwise path; at "
+         "sf0.1+ the bucket path — both driver-checked over rounds",
 )
 def dml_delete_matching(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dml import delete_matching
 
-    t, _versions = _staged_events_table(spark, sf, "dmldelm")
+    t, _versions = _staged_events_table(
+        spark, sf, "dmldelm", key_bloom_bits=1 << 13
+    )
     doomed = (
         table(spark, sf, "events")
         .select("user_id")

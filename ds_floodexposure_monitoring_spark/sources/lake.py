@@ -1035,6 +1035,7 @@ class LakeTable:
         version: int | None = None,
         include_internal: bool = False,
         files: list[DataFile] | None = None,
+        resolve: bool | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past snapshot / a pruned file set).
 
@@ -1044,6 +1045,14 @@ class LakeTable:
         snapshot's current schema, and unioned. Catalyst still gets
         column pruning + filter pushdown per group. Tombstoned (deleted)
         rows are filtered out unless ``include_internal``.
+
+        ``resolve=False`` skips the MOR LWW resolve and returns the
+        stored rows VERBATIM (every version of every key). Only for
+        callers doing strictly per-row work over a file subset — e.g.
+        the file-granular DELETE rewrite, which must not fold a key's
+        partial version chain when other versions live in files outside
+        the subset. Implies ``include_internal`` semantics are the
+        caller's problem; default (None) resolves per the snapshot.
         """
         snap = self.current() if version is None else self.snapshot(version)
         flist = files if files is not None else self.files(snap)
@@ -1080,7 +1089,7 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if snap.get("requires_resolve", False):
+        if (snap.get("requires_resolve", False) if resolve is None else resolve):
             # merge-on-read: delta files overlap by key; resolve
             # last-writer-wins by (LSN, dml_seq) before anything else
             # sees the rows (one hash agg with map-side partials; LSN

@@ -184,3 +184,76 @@ def test_dml_stat_pruned_planning(spark, tmpdir_path):
     assert st2 is not None and st2.rows_matched == 50
     assert t.scan().count() == 50
     assert {r.conv_id.split("-")[0] for r in t.scan().select("conv_id").collect()} == {"c1"}
+
+
+def test_delete_matching_pointwise_is_file_granular(spark, tmpdir_path):
+    """Small key sets take the bloom-file-granular path: only files that
+    can hold the doomed keys are rewritten (not whole buckets), rows of
+    other keys survive verbatim (no LWW fold of partial version
+    chains), resolution state and base/delta flags carry through."""
+    from ds_floodexposure_monitoring_spark.operators.compact import merge_append
+    from ds_floodexposure_monitoring_spark.operators.dml import delete_matching
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "pw"), transcript_schema(),
+        n_buckets=4, key_bloom_bits=1 << 13,
+    )
+    # three overlapping-range delta batches -> per bucket, several files
+    # whose [min_key, max_key] envelopes all overlap; blooms disjoint
+    def batch(lsn0, convs):
+        rows = [
+            (lsn0 + 10 * c + k, f"conv-{c:04d}", k, "user", f"m{c}.{k}.{lsn0}", None, None)
+            for c in convs for k in range(2)
+        ]
+        return spark.createDataFrame(rows, DDL)
+
+    merge_append(t, batch(0, range(0, 60)), batch_id="b1")
+    merge_append(t, batch(10_000, range(0, 60, 2)), batch_id="b2")
+    merge_append(t, batch(20_000, range(1, 60, 2)), batch_id="b3")
+    assert t.current()["requires_resolve"] is True
+    files_before = {f.path: f for f in t.files()}
+
+    doomed = ["conv-0007", "conv-0008"]
+    keys = spark.createDataFrame([(k,) for k in doomed], "conv_id string")
+    want_after = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.scan().where(~F.col("conv_id").isin(doomed)).collect()
+    )
+    doomed_buckets = {
+        r["b"] for r in keys.select(t.bucket_expr(key_col="conv_id").alias("b"))
+        .distinct().collect()
+    }
+    bucket_files = sum(1 for f in files_before.values() if f.bucket in doomed_buckets)
+    bloom_files = len(t.prune_for_keys(doomed))
+
+    st = delete_matching(t, keys)
+    assert st is not None
+    # file-granular: strictly fewer files rewritten than the touched
+    # buckets hold (the bloom skips same-bucket files without the keys)
+    assert st.files_removed == bloom_files < bucket_files
+    # verbatim rewrite: resolution still required, results exact
+    assert t.current()["requires_resolve"] is True
+    got = sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
+    assert got == want_after
+    for k in doomed:
+        assert t.lookup([k]).count() == 0
+    # untouched files carried by reference (same path objects)
+    untouched = set(files_before) - {f.path for f in t.prune_for_keys(doomed, snapshot=t.snapshot(st.snapshot_version - 1))}
+    assert untouched <= {f.path for f in t.files()}
+    # rewritten files keep manifest blooms and base/delta flags
+    assert all(f.key_bloom for f in t.files())
+
+
+def test_delete_matching_large_key_set_uses_bucket_path(spark, table):
+    """Above the pointwise threshold the bucket-granular LEFT ANTI path
+    still runs (key set stays distributed)."""
+    from ds_floodexposure_monitoring_spark.operators.dml import delete_matching
+
+    keys = spark.createDataFrame(
+        [(f"c{i % 20}",) for i in range(40)], "conv_id string"
+    )
+    before = _texts(table)
+    doomed = {x for x in before if x[0] in {f"c{i % 20}" for i in range(40)}}
+    st = delete_matching(table, keys, max_pointwise_keys=5)
+    assert st is not None and st.rows_matched == len(doomed)
+    assert set(_texts(table)) == set(before) - doomed
