@@ -85,6 +85,7 @@ _CHECK_PRIORITY = (
     "jdbc_scan",
     "pii_scrub",
     "domain_mix_sample",
+    "partition_evolution_scan",
     # never driver-checked through round 3
     "multimodal_features",
     "multimodal_resize",

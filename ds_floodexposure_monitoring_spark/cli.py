@@ -357,8 +357,14 @@ def cmd_alter(args) -> int:
         snap = table.drop_column(args.drop_column)
         _emit({"op": "drop-column", "table_dir": args.table_dir,
                "dropped": args.drop_column, "new_version": snap["version"]})
+    elif args.partition_by:
+        spec = None if args.partition_by.lower() == "none" else args.partition_by
+        snap = table.set_partition_spec(spec)
+        _emit({"op": "set-partition-spec", "table_dir": args.table_dir,
+               "partition_by": spec, "new_version": snap["version"]})
     else:
-        raise SystemExit("alter: pass --rename old:new or --drop-column name")
+        raise SystemExit("alter: pass --rename old:new, --drop-column name, "
+                         "or --partition-by spec")
     return 0
 
 
@@ -495,11 +501,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(dp)
     dp.set_defaults(fn=cmd_drop_partitions)
 
-    al = sub.add_parser("alter", help="metadata-only column rename/drop")
+    al = sub.add_parser("alter", help="metadata-only column rename/drop "
+                                      "or partition evolution")
     _add_common(al)
     al.add_argument("--table-dir", required=True)
     al.add_argument("--rename", default=None, metavar="OLD:NEW")
     al.add_argument("--drop-column", default=None)
+    al.add_argument("--partition-by", default=None, metavar="SPEC",
+                    help="evolve the partition spec, e.g. months(ts); "
+                         "'none' stops partitioning new writes")
     al.set_defaults(fn=cmd_alter)
     return ap
 

@@ -109,12 +109,17 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
 def _staged_events_table(
     spark: SparkSession, sf: str, tag: str, stat_cols: tuple = (),
     partition_by: str | None = None, key_bloom_bits: int = 0,
+    evolve_to: str | None = None,
 ):
     """Build a MOR lake table from `events` in 3 LSN-ordered batches
     (thirds of event_id), returning (table, [version after each batch]).
     Shared scaffold for the change-feed / time-travel / incremental-rollup
     contract queries; the directory is per-(sf, tag) and rebuilt per call
-    so each query is self-contained and deterministic."""
+    so each query is self-contained and deterministic.
+
+    ``evolve_to``: run ``set_partition_spec(evolve_to)`` before the LAST
+    batch, so the table holds files written under BOTH specs (partition
+    evolution coverage)."""
     import hashlib
     import shutil
     import tempfile
@@ -138,7 +143,9 @@ def _staged_events_table(
     cuts = [hi // 3, 2 * hi // 3, hi]
     lo = -1
     versions = [t.version]  # creation snapshot, then one per batch
-    for c in cuts:
+    for i, c in enumerate(cuts):
+        if evolve_to is not None and i == len(cuts) - 1:
+            t.set_partition_spec(evolve_to)
         batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
         merge_append(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
         versions.append(t.version)
@@ -430,6 +437,41 @@ def partition_retention_drop(spark: SparkSession, sf: str) -> DataFrame:
     )
     t.drop_partitions(cutoff)
     return t.scan().select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
+    "partition_evolution_scan",
+    """
+    WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,
+                      min(ts) + INTERVAL 40 DAY AS hi FROM events),
+    s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT s.user_id, s.event_type, s.value, s.ts FROM s, b
+    WHERE s.ts BETWEEN b.lo AND b.hi
+    """,
+    note="Iceberg partition EVOLUTION (ALTER TABLE ... SET PARTITION "
+         "SPEC): two MOR batches land under days(ts), a metadata-only "
+         "set_partition_spec('months(ts)') commit evolves the table, "
+         "the third batch lands under months — NO file is rewritten; "
+         "the bounded read then prunes every file under ITS OWN spec "
+         "(DataFile.spec_id -> snapshot partition_specs), closed under "
+         "same-bucket key-range overlap for exact LWW. At 100 TB this "
+         "is how a too-granular daily spec coarsens without a rewrite; "
+         "the next major compaction migrates rows it touches anyway",
+)
+def partition_evolution_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """days(ts) for 2 batches -> months(ts) for the last; a 30-day
+    bounded read spans files of both specs."""
+    import datetime as dt
+
+    t, _versions = _staged_events_table(
+        spark, sf, "partevo", partition_by="days(ts)", evolve_to="months(ts)"
+    )
+    mn = table(spark, sf, "events").agg(F.min("ts")).collect()[0][0]
+    lo, hi = mn + dt.timedelta(days=10), mn + dt.timedelta(days=40)
+    return t.scan_range("ts", lo, hi).select("user_id", "event_type", "value", "ts")
 
 
 @_reg(

@@ -92,6 +92,13 @@ class DataFile:
     # splits output by partition value), unlike col_stats' min/max
     # envelope. None on unpartitioned tables / pre-spec files.
     part: int | str | None = None
+    # index into the snapshot's partition-spec list (Iceberg spec-id
+    # analog): which spec produced this file's ``part`` value. Partition
+    # evolution (set_partition_spec) leaves old files under their
+    # original spec — pruning and retention evaluate each file under
+    # ITS OWN spec, never the current one. None on unpartitioned files;
+    # legacy manifests (written before evolution existed) read as 0.
+    spec_id: int | None = None
     # base64 bloom filter over this file's first-merge-key values
     # (parquet column-index bloom analog, kept in the manifest so the
     # DRIVER can skip files without any file I/O). Delta files inside a
@@ -117,6 +124,8 @@ class DataFile:
             d["base"] = True
         if self.part is not None:
             d["part"] = self.part
+        if self.spec_id is not None:
+            d["spec_id"] = self.spec_id
         if self.key_bloom:
             d["key_bloom"] = self.key_bloom
         return d
@@ -126,7 +135,9 @@ class DataFile:
         return DataFile(
             d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"),
             d["schema_version"], d.get("col_stats"), d.get("base", False),
-            d.get("part"), d.get("key_bloom"),
+            d.get("part"),
+            d.get("spec_id", 0 if d.get("part") is not None else None),
+            d.get("key_bloom"),
         )
 
 
@@ -258,6 +269,69 @@ def _partition_value_range(spec: dict, lo, hi) -> tuple | None:
         None if lo is None else to_part(lo),
         None if hi is None else to_part(hi),
     )
+
+
+def _snapshot_specs(snap: dict) -> list:
+    """The snapshot's partition-spec list (index = DataFile.spec_id).
+
+    Legacy snapshots (written before partition evolution existed) carry
+    only ``partition_spec``; their one spec reads as id 0 — matching
+    ``DataFile.from_json``'s legacy default."""
+    specs = snap.get("partition_specs")
+    if specs is not None:
+        return specs
+    ps = snap.get("partition_spec")
+    return [ps] if ps else []
+
+
+def _partition_interval_micros(spec: dict, part) -> tuple | None:
+    """The ``[start, end)`` epoch-micros interval a TIME-transform
+    partition value covers — the transform-independent currency that
+    lets retention and pruning compare files written under DIFFERENT
+    specs over the same source column (Iceberg partition evolution).
+    None for identity specs (value-based, no time interval) or
+    non-integral partition values."""
+    t = spec["transform"]
+    if t == "identity" or not isinstance(part, int):
+        return None
+    unit = {"hours": 3_600_000_000, "days": 86_400_000_000}.get(t)
+    if unit is not None:
+        return (part * unit, (part + 1) * unit)
+
+    def month_start(months_since_epoch: int) -> int:
+        y, m = divmod(months_since_epoch, 12)
+        d = datetime.datetime(1970 + y, m + 1, 1)
+        return (d - _EPOCH) // datetime.timedelta(microseconds=1)
+
+    if t == "months":
+        return (month_start(part), month_start(part + 1))
+    return (month_start(part * 12), month_start((part + 1) * 12))  # years
+
+
+def _file_partition_overlaps(specs: list, f: "DataFile", col: str, lo, hi) -> bool:
+    """Can file ``f`` hold rows whose source column ``col`` falls in
+    ``[lo, hi]``? Evaluated under the file's OWN partition spec (after
+    partition evolution, files written under different specs coexist in
+    one snapshot); conservatively True whenever the file's spec doesn't
+    constrain ``col`` or the bounds don't map."""
+    if f.part is None:
+        return True  # pre-spec / null-partition file
+    sid = f.spec_id if f.spec_id is not None else 0
+    sp = specs[sid] if 0 <= sid < len(specs) else None
+    if not sp or sp["col"] != col:
+        return True
+    prange = _partition_value_range(sp, lo, hi)
+    if prange is None:
+        return True
+    plo, phi = prange
+    try:
+        if plo is not None and f.part < plo:
+            return False
+        if phi is not None and f.part > phi:
+            return False
+        return True
+    except TypeError:
+        return True
 
 
 def _key_closure(all_files: list, seeds: list) -> list:
@@ -936,6 +1010,7 @@ class LakeTable:
             "bucket_seed": cls.BUCKET_SEED,
             "stat_cols": list(stat_cols),
             "partition_spec": pspec,
+            "partition_specs": [pspec] if pspec else [],
             "key_bloom_bits": int(key_bloom_bits),
             "schema_version": 1,
             "schemas": {"1": json.loads(schema.json())},
@@ -1206,6 +1281,7 @@ class LakeTable:
             "bucket_seed": old.get("bucket_seed", 0),
             "stat_cols": old.get("stat_cols", []),
             "partition_spec": old.get("partition_spec"),
+            "partition_specs": _snapshot_specs(old),
             "key_bloom_bits": old.get("key_bloom_bits", 0),
             "schema_version": old["schema_version"],
             "schemas": old["schemas"],
@@ -1353,8 +1429,9 @@ class LakeTable:
             raise ValueError(f"cannot rename merge-key column {old!r}")
         if old in cur.get("stat_cols", []):
             raise ValueError(f"cannot rename stat column {old!r}")
-        pspec = cur.get("partition_spec")
-        if pspec and old == pspec["col"]:
+        if old in {sp["col"] for sp in _snapshot_specs(cur) if sp}:
+            # current OR historical spec: old-spec files still prune
+            # under their spec's source-column name
             raise ValueError(f"cannot rename partition source column {old!r}")
         if old not in schema.fieldNames():
             raise ValueError(f"no column {old!r} in {schema.fieldNames()}")
@@ -1390,8 +1467,7 @@ class LakeTable:
             raise ValueError(f"cannot drop merge-key column {name!r}")
         if name in cur.get("stat_cols", []):
             raise ValueError(f"cannot drop stat column {name!r}")
-        pspec = cur.get("partition_spec")
-        if pspec and name == pspec["col"]:
+        if name in {sp["col"] for sp in _snapshot_specs(cur) if sp}:
             raise ValueError(f"cannot drop partition source column {name!r}")
         if name not in schema.fieldNames():
             raise ValueError(f"no column {name!r} in {schema.fieldNames()}")
@@ -1459,6 +1535,7 @@ class LakeTable:
             "bucket_seed": cur.get("bucket_seed", 0),
             "stat_cols": cur.get("stat_cols", []),
             "partition_spec": cur.get("partition_spec"),
+            "partition_specs": _snapshot_specs(cur),
             "key_bloom_bits": cur.get("key_bloom_bits", 0),
             "schema_version": cur["schema_version"],
             "schemas": cur["schemas"],
@@ -1544,9 +1621,9 @@ class LakeTable:
         compacted MOR table this opens O(matching + key-overlapping
         delta) files — far below the old whole-bucket degradation."""
         snap = snapshot or self.current()
-        pspec = snap.get("partition_spec")
-        part_col = pspec["col"] if pspec else None
-        if col not in snap.get("stat_cols", []) and col != part_col:
+        specs = _snapshot_specs(snap)
+        part_cols = {sp["col"] for sp in specs if sp}
+        if col not in snap.get("stat_cols", []) and col not in part_cols:
             raise ValueError(
                 f"column {col!r} has no file stats (table stat_cols="
                 f"{snap.get('stat_cols', [])}); pass stat_cols=({col!r},) at create"
@@ -1559,20 +1636,11 @@ class LakeTable:
             return cs is None or not (cs[1] < lo_n or cs[0] > hi_n)
 
         seeds = [f for f in files if overlaps(f)]
-        if col == part_col:
-            prange = _partition_value_range(pspec, lo_n, hi_n)
-            if prange is not None:
-                plo, phi = prange
-
-                def in_part(f: DataFile) -> bool:
-                    if f.part is None:
-                        return True  # pre-spec / null-partition file
-                    try:
-                        return plo <= f.part <= phi
-                    except TypeError:
-                        return True
-
-                seeds = [f for f in seeds if in_part(f)]
+        if col in part_cols:
+            seeds = [
+                f for f in seeds
+                if _file_partition_overlaps(specs, f, col, lo_n, hi_n)
+            ]
         if snap.get("requires_resolve", False):
             return _key_closure(files, seeds)
         return seeds
@@ -1632,15 +1700,15 @@ class LakeTable:
 
         mor = snap.get("requires_resolve", False)
         all_after_key = files
-        pspec = snap.get("partition_spec")
-        if pspec and pspec["col"] in bounds:
-            prange = _partition_value_range(pspec, *bounds[pspec["col"]])
-            if prange is not None:
-                plo, phi = prange
-                files = [
-                    f for f in files
-                    if f.part is None or _overlaps(plo, phi, f.part, f.part)
-                ]
+        specs = _snapshot_specs(snap)
+        for pcol in {sp["col"] for sp in specs if sp} & set(bounds):
+            lo, hi = bounds[pcol]
+            files = [
+                f for f in files
+                if _file_partition_overlaps(
+                    specs, f, pcol, self._bound_scalar(lo), self._bound_scalar(hi)
+                )
+            ]
         for c in snap.get("stat_cols", []):
             if c not in bounds:
                 continue
@@ -1666,6 +1734,49 @@ class LakeTable:
     # ---------------------------------------------------------- partitions
     def partition_spec(self) -> dict | None:
         return self.current().get("partition_spec")
+
+    def set_partition_spec(self, partition_by: str | None) -> dict:
+        """Metadata-only partition evolution (Iceberg ``ALTER TABLE …
+        SET PARTITION SPEC`` / ``REPLACE PARTITION FIELD``).
+
+        NO file is touched: new writes split under the new transform,
+        existing files keep the partition value (and spec id) they were
+        written with, and every consumer — ``prune_for_range``,
+        ``prune_for_predicate``, ``drop_partitions`` — evaluates each
+        file under ITS OWN spec, comparing across specs through the
+        transform-independent epoch-micros interval each partition
+        value covers. This is how a table partitioned ``days(ts)`` at
+        creation moves to ``months(ts)`` when daily partitions grow too
+        numerous at 10^10 rows (or vice versa when they grow too fat)
+        without a 100-TB rewrite; a later major compaction naturally
+        migrates rows it rewrites to the current spec.
+
+        ``partition_by=None`` stops partitioning new writes (old files
+        keep pruning under their specs). Identical respecified specs
+        reuse their existing spec id (Iceberg spec dedup)."""
+        cur = self.current()
+        new = _parse_partition_spec(partition_by) if partition_by else None
+        if new and new["col"] not in self.schema(cur).fieldNames():
+            raise ValueError(
+                f"partition column {new['col']!r} not in schema "
+                f"{self.schema(cur).fieldNames()}"
+            )
+        if new == cur.get("partition_spec"):
+            raise ValueError(f"table already partitioned by {partition_by!r}")
+        specs = list(_snapshot_specs(cur))
+        if new is not None and new not in specs:
+            specs.append(new)
+        return self.commit(
+            set(),
+            [],
+            operation="set-partition-spec",
+            expected_parent_version=cur["version"],
+            summary_extra={
+                "from": cur.get("partition_spec"),
+                "to": new,
+            },
+            snapshot_extra={"partition_spec": new, "partition_specs": specs},
+        )
 
     def drop_partitions(self, before) -> dict | None:
         """Metadata-only retention drop: remove every data file whose
@@ -1695,19 +1806,46 @@ class LakeTable:
                 "version or tombstone lives in the dropped partitions — run "
                 "operators.compact.compact(table) first"
             )
+        specs = _snapshot_specs(cur)
         if pspec["transform"] == "identity":
+            # value-based cutoff: only files written under THIS identity
+            # spec are comparable; time-transform files from an earlier
+            # spec have no defined order against a raw value — kept
             cutoff = before
+
+            def doomed_f(f: DataFile) -> bool:
+                sid = f.spec_id if f.spec_id is not None else 0
+                sp = specs[sid] if 0 <= sid < len(specs) else None
+                if sp != pspec:
+                    return False
+                try:
+                    return f.part < cutoff
+                except TypeError:
+                    return False
         else:
             prange = _partition_value_range(
                 pspec, self._bound_scalar(before), self._bound_scalar(before)
             )
             if prange is None:
                 raise ValueError(f"cannot map {before!r} to a partition value")
-            cutoff = prange[0]
-        doomed = [
-            f for f in self.files(cur)
-            if f.part is not None and f.part < cutoff
-        ]
+            # the cutoff instant, snapped DOWN to the current spec's
+            # partition boundary (same semantics as the pre-evolution
+            # ``part < cutoff``); a file written under ANY time transform
+            # over the same source column drops iff its partition's
+            # [start, end) interval ends at or before that instant —
+            # exact across specs (a days file inside a dropped months
+            # range drops; one straddling the boundary is kept)
+            cut_us = _partition_interval_micros(pspec, prange[0])[0]
+
+            def doomed_f(f: DataFile) -> bool:
+                sid = f.spec_id if f.spec_id is not None else 0
+                sp = specs[sid] if 0 <= sid < len(specs) else None
+                if not sp or sp["col"] != pspec["col"]:
+                    return False
+                iv = _partition_interval_micros(sp, f.part)
+                return iv is not None and iv[1] <= cut_us
+
+        doomed = [f for f in self.files(cur) if f.part is not None and doomed_f(f)]
         if not doomed:
             return None
         return self.commit(
@@ -1832,8 +1970,13 @@ class LakeTable:
         requires_resolve: bool | None = None,
         expected_parent_version: int | None = None,
         renames_extra: list[dict] | None = None,
+        snapshot_extra: dict | None = None,
     ) -> dict:
         """Replace-files commit: untouched files carry over unchanged.
+
+        ``snapshot_extra``: metadata-field overrides merged into the
+        snapshot after the standard build (used by DDL-style commits,
+        e.g. set_partition_spec).
 
         Optimistic concurrency: pass ``expected_parent_version`` (the
         version the change was *planned* against) and the commit is
@@ -1868,6 +2011,7 @@ class LakeTable:
             "bucket_seed": cur.get("bucket_seed", 0),
             "stat_cols": cur.get("stat_cols", []),
             "partition_spec": cur.get("partition_spec"),
+            "partition_specs": _snapshot_specs(cur),
             "key_bloom_bits": cur.get("key_bloom_bits", 0),
             "schema_version": schema_version,
             "schemas": schemas,
@@ -1885,6 +2029,8 @@ class LakeTable:
                 **(summary_extra or {}),
             },
         }
+        if snapshot_extra:
+            snap.update(snapshot_extra)
         self._write_snapshot(snap)
         return snap
 
@@ -2173,11 +2319,20 @@ class LakeTable:
         finally:
             if toggle:
                 self.spark.conf.set(aqe_key, prev_aqe)
+        import dataclasses as _dc
+
+        if pspec:
+            # stamp the spec that produced these partition values — after
+            # partition evolution, pruning/retention must evaluate each
+            # file under the spec it was WRITTEN with, not the current one
+            sid = _snapshot_specs(cur).index(pspec)
+            files = [
+                _dc.replace(f, spec_id=sid) if f.part is not None else f
+                for f in files
+            ]
         if mark_base:
             # caller performed a bucket-complete resolve: flag the files
             # so minor compaction exempts exactly them (DataFile.base)
-            import dataclasses as _dc
-
             files = [_dc.replace(f, base=True) for f in files]
         return files
 

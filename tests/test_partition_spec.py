@@ -302,3 +302,143 @@ def test_fanout_writer_cap_evicts_and_stays_exact(spark, tmpdir_path):
         assert m["max_key"] == max(tbl.column("conv_id").to_pylist())
         seen += tbl.column("conv_id").to_pylist()
     assert sorted(seen) == sorted([f"c{i:04d}" for i in range(48)] * 2)
+
+
+# ---------------------------------------------------------------- evolution
+
+
+def test_partition_evolution_days_to_months(spark, table):
+    """set_partition_spec is metadata-only: old files keep their days()
+    values under spec id 0, new writes split by months() under spec id
+    1, and pruning evaluates each file under ITS OWN spec."""
+    merge_into(table, _batch(spark, 0, 40, 1), batch_id="jan1")
+    merge_into(table, _batch(spark, 1000, 40, 2), batch_id="jan2")
+    old_paths = {f.path for f in table.files()}
+
+    snap = table.set_partition_spec("months(ts)")
+    assert snap["summary"]["operation"] == "set-partition-spec"
+    assert {f.path for f in table.files()} == old_paths  # no file touched
+    assert table.partition_spec() == {"transform": "months", "col": "ts"}
+
+    # february batch lands under the NEW spec
+    feb = spark.createDataFrame(
+        [(9000 + i, f"f{i}", 0, "user", f"feb-{i}", None,
+          dt.datetime(2024, 2, 10, i % 24)) for i in range(30)],
+        DDL,
+    )
+    merge_into(table, feb, batch_id="feb")
+    by_spec = {}
+    for f in table.files():
+        by_spec.setdefault(f.spec_id, set()).add(f.part)
+    assert by_spec[0] == {19723, 19724}           # days: Jan 1-2 2024
+    assert by_spec[1] == {649}                    # months: Feb 2024
+
+    # pruning works across specs: a Jan-1-only range keeps neither the
+    # Jan-2 days files nor the Feb months files
+    jan1 = dt.datetime(2024, 1, 1)
+    kept = table.prune_for_range("ts", jan1, dt.datetime(2024, 1, 1, 23, 59))
+    assert {f.part for f in kept} == {19723}
+    # and a Feb range keeps only the months files
+    kept = table.prune_for_range("ts", dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 28))
+    assert {(f.spec_id, f.part) for f in kept} == {(1, 649)}
+
+    # scan_range equals scan+filter on both sides of the evolution
+    got = sorted(
+        r.text for r in table.scan_range("ts", jan1, dt.datetime(2024, 1, 1, 23, 59))
+        .where(F.col("ts") <= dt.datetime(2024, 1, 1, 23, 59)).collect()
+    )
+    want = sorted(
+        r.text for r in table.scan()
+        .where(F.col("ts").between(jan1, dt.datetime(2024, 1, 1, 23, 59))).collect()
+    )
+    assert got == want and got
+
+    # predicate pruning takes the same per-file-spec path
+    kept = table.prune_for_predicate("ts >= timestamp'2024-02-01 00:00:00'")
+    assert {(f.spec_id, f.part) for f in kept} == {(1, 649)}
+
+
+def test_drop_partitions_across_specs(spark, table):
+    """Retention cutoffs compare files from DIFFERENT specs through the
+    epoch-micros interval each partition covers: a days-file wholly
+    before the cutoff drops even though the current spec is months."""
+    merge_into(table, _batch(spark, 0, 40, 1), batch_id="jan1")
+    merge_into(table, _batch(spark, 1000, 40, 2), batch_id="jan2")
+    table.set_partition_spec("months(ts)")
+    feb = spark.createDataFrame(
+        [(9000 + i, f"f{i}", 0, "user", f"feb-{i}", None,
+          dt.datetime(2024, 2, 10)) for i in range(30)],
+        DDL,
+    )
+    merge_into(table, feb, batch_id="feb")
+    n_before = table.scan().count()
+
+    # cutoff mid-Feb snaps down to the months boundary (Feb 1): both
+    # Jan days-partitions drop (their intervals end Jan 2/Jan 3), the
+    # Feb months-partition straddles and is kept
+    snap = table.drop_partitions(dt.datetime(2024, 2, 15))
+    assert snap is not None
+    assert {(f.spec_id, f.part) for f in table.files()} == {(1, 649)}
+    assert table.scan().count() == 30 < n_before
+    # metadata-only: operation recorded, no files added
+    assert snap["summary"]["operation"] == "drop-partitions"
+    assert snap["summary"]["added_files"] == 0
+
+
+def test_partition_evolution_guards_and_unset(spark, table):
+    merge_into(table, _batch(spark, 0, 40, 1), batch_id="jan1")
+    with pytest.raises(ValueError, match="already partitioned"):
+        table.set_partition_spec("days(ts)")
+    with pytest.raises(ValueError, match="not in schema"):
+        table.set_partition_spec("days(nope)")
+
+    table.set_partition_spec("months(ts)")
+    # the HISTORICAL spec's source column is still rename/drop-protected
+    with pytest.raises(ValueError, match="partition source"):
+        table.rename_column("ts", "ts2")
+    with pytest.raises(ValueError, match="partition source"):
+        table.drop_column("ts")
+
+    # unset: new writes are unpartitioned, old files still prune
+    # (disjoint keys so the COW merge leaves the day-1 files alone)
+    table.set_partition_spec(None)
+    assert table.partition_spec() is None
+    day3 = spark.createDataFrame(
+        [(5000 + i, f"z{i}", 0, "user", f"d3-{i}", None,
+          dt.datetime(2024, 1, 3)) for i in range(20)],
+        DDL,
+    )
+    merge_append(table, day3, batch_id="jan3")  # MOR: day-1 files survive
+    parts = {f.part for f in table.files()}
+    assert None in parts and 19723 in parts
+    kept = table.prune_for_range("ts", dt.datetime(2024, 1, 1),
+                                 dt.datetime(2024, 1, 1, 23, 59))
+    # day-1 files kept, day-3 unpartitioned files conservatively kept,
+    # nothing else
+    assert {f.part for f in kept} == {19723, None}
+
+    # re-specifying an old spec reuses its spec id (Iceberg dedup)
+    table.set_partition_spec("days(ts)")
+    merge_into(table, _batch(spark, 7000, 20, 4), batch_id="jan4")
+    snap = table.current()
+    assert snap["partition_specs"].count({"transform": "days", "col": "ts"}) == 1
+    assert {f.spec_id for f in table.files() if f.part == 19726} == {0}
+
+
+def test_major_compaction_migrates_to_current_spec(spark, tmpdir_path):
+    """A post-evolution major compaction rewrites rows under the CURRENT
+    spec — the natural no-extra-cost migration path at 100 TB."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "mig"), transcript_schema(),
+        n_buckets=2, partition_by="days(ts)",
+    )
+    merge_append(t, _batch(spark, 0, 40, 1), batch_id="b1")
+    merge_append(t, _batch(spark, 1000, 40, 2), batch_id="b2")
+    t.set_partition_spec("months(ts)")
+    assert t.current()["requires_resolve"] is True
+    before = sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
+    compact(t)
+    assert t.current()["requires_resolve"] is False
+    assert {(f.spec_id, f.part) for f in t.files()} == {(1, 648)}  # Jan 2024
+    after = sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
+    assert after == before
