@@ -311,3 +311,79 @@ def compact(
         snapshot_version=snap["version"],
         mode=mode,
     )
+
+
+def cluster_rewrite(
+    table: LakeTable,
+    by: tuple[str, ...],
+    target_rows_per_file: int = 2_000_000,
+) -> CompactStats | None:
+    """Sort-order data clustering: rewrite the table so files cover
+    near-DISJOINT ranges of ``by`` (the Iceberg ``rewrite_data_files``
+    sort-strategy / Delta ``OPTIMIZE`` analog, linear order).
+
+    Ingest-order files all span the full range of a column like event
+    time — every time-bounded read opens every file. After clustering,
+    footer min/max on ``by`` (which must be manifest ``stat_cols``, or
+    the partition source column) prune a range read to O(matching
+    files). The merge keys ride as a SECONDARY sort, so per-row-group
+    key stats stay useful for point lookups.
+
+    Scale shape: ONE sampled range exchange
+    (``repartitionByRange(b, *by)`` — the same machinery Spark's global
+    sort uses; no single-task funnels, hot ranges split across tasks by
+    the sampler) + a task-local sort + the standard task writer. This
+    is a FULL resolved rewrite, like rebucket: schedule it like a major
+    compaction, not per batch. Rows rewritten after partition evolution
+    migrate to the current spec. Tombstones ride through unchanged."""
+    cur = table.current()
+    stat_ok = set(cur.get("stat_cols", []))
+    pspec = cur.get("partition_spec")
+    if pspec:
+        stat_ok.add(pspec["col"])
+    missing = [c for c in by if c not in stat_ok and c not in table.merge_keys]
+    if missing:
+        raise ValueError(
+            f"cluster columns {missing} have no manifest stats (stat_cols="
+            f"{sorted(stat_ok)}); pruning could not use the clustered "
+            f"layout — create the table with stat_cols including them"
+        )
+    old_files = table.files(cur)
+    if not old_files:
+        return None
+    rows_before = sum(f.rows for f in old_files)
+
+    df = table.scan(include_internal=True)  # resolved live rows + tombstones
+    df = df.withColumn("b", table.bucket_expr())
+    n_out = max(1, -(-rows_before // target_rows_per_file))
+    clustered = df.repartitionByRange(n_out, F.col("b"), *[F.col(c) for c in by])
+    # observe AFTER the range exchange: repartitionByRange's boundary
+    # sampler executes the child plan once more, and an upstream observe
+    # would double-count and trip the consistency guard
+    obs = Observation()
+    clustered = clustered.observe(obs, F.count(F.lit(1)).alias("rows"))
+    new_files = table.write_data_files(
+        clustered, table.schema(cur), cur["schema_version"],
+        sort_by=[*by, *table.merge_keys],
+        pre_partitioned=True,
+        mark_base=True,  # bucket-complete resolve: minors exempt these
+    )
+    _check_write_consistency(int(obs.get["rows"]), new_files)
+    snap = table.commit(
+        {f.path for f in old_files},
+        new_files,
+        operation="cluster-rewrite",
+        requires_resolve=False,
+        expected_parent_version=cur["version"],
+        summary_extra={"cluster_by": list(by)},
+    )
+    return CompactStats(
+        buckets_compacted=len({f.bucket for f in old_files}),
+        files_removed=len(old_files),
+        files_added=len(new_files),
+        rows_before=rows_before,
+        rows_after=sum(f.rows for f in new_files),
+        tombstones_dropped=False,
+        snapshot_version=snap["version"],
+        mode="cluster",
+    )

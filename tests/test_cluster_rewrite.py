@@ -1,0 +1,111 @@
+"""Sort-order clustering rewrite (Iceberg rewrite_data_files sort
+strategy analog): after cluster_rewrite(by=("ts",)) a time-bounded read
+opens only the files whose now-tight ts range overlaps, and the table
+state is byte-identical."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_floodexposure_monitoring_spark.datagen.transcripts import transcript_schema
+from ds_floodexposure_monitoring_spark.operators.compact import (
+    cluster_rewrite,
+    merge_append,
+)
+from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+
+DDL = "lsn long, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _spanning_batch(spark, lo, n, tag):
+    """Every batch spans the FULL 30-day window: ingest-order files all
+    overlap on ts, the worst case clustering exists to fix."""
+    rows = [
+        (lo + i, f"c{(lo + i) % 200:04d}", (lo + i) // 200, "user",
+         f"{tag}-{lo + i}", None,
+         dt.datetime(2024, 1, 1) + dt.timedelta(hours=(i * 7) % (30 * 24)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, DDL)
+
+
+@pytest.fixture()
+def staged(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "cl"), transcript_schema(),
+        n_buckets=4, stat_cols=("ts",),
+    )
+    for i in range(3):
+        merge_append(t, _spanning_batch(spark, i * 1000, 600, f"b{i}"),
+                     batch_id=f"b{i}")
+    return t
+
+
+def test_cluster_rewrite_prunes_range_reads(spark, staged):
+    t = staged
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12)
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.scan().where(F.col("ts").between(lo, hi)).collect()
+    )
+    kept_before = len(t.prune_for_range("ts", lo, hi))
+    n_before = len(t.files())
+    total_rows = t.scan().count()
+
+    st = cluster_rewrite(t, ("ts",), target_rows_per_file=120)
+    assert st is not None and st.mode == "cluster"
+    cur = t.current()
+    assert cur["requires_resolve"] is False
+    assert all(f.base for f in t.files())
+
+    # state identical
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.scan().where(F.col("ts").between(lo, hi)).collect()
+    )
+    assert got == want and got
+    assert t.scan().count() == total_rows
+
+    # the clustered layout actually prunes: a 2-day window out of 30
+    # keeps a strict minority of files (before: every file overlapped)
+    kept_after = len(t.prune_for_range("ts", lo, hi))
+    n_after = len(t.files())
+    assert kept_before == n_before  # worst case confirmed
+    assert kept_after < n_after / 2
+    # scan_range equals scan+filter on the clustered table
+    got_sr = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.scan_range("ts", lo, hi)
+        .where(F.col("ts").between(lo, hi)).collect()
+    )
+    assert got_sr == want
+
+
+def test_cluster_rewrite_guards_and_tombstones(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "cg"), transcript_schema(),
+        n_buckets=2, stat_cols=(),
+    )
+    merge_append(t, _spanning_batch(spark, 0, 50, "a"), batch_id="a")
+    with pytest.raises(ValueError, match="no manifest stats"):
+        cluster_rewrite(t, ("ts",))
+
+    # tombstones survive the rewrite (resurrection protection)
+    t2 = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "ct"), transcript_schema(),
+        n_buckets=2, stat_cols=("ts",),
+    )
+    merge_append(t2, _spanning_batch(spark, 0, 50, "a"), batch_id="a")
+    dels = spark.createDataFrame(
+        [(10_000, "c0001", 0, "user", None, None, dt.datetime(2024, 1, 2), "D")],
+        DDL + ", op string",
+    )
+    merge_append(t2, dels, batch_id="del", op_col="op")
+    live_before = t2.scan().count()
+    cluster_rewrite(t2, ("ts",), target_rows_per_file=40)
+    assert t2.scan().count() == live_before
+    # the tombstone row physically survives in the clustered files
+    internals = t2.scan(include_internal=True)
+    assert internals.where(F.col("_tombstone")).count() == 1
