@@ -55,6 +55,7 @@ HEADLINE = [
     "minhash_lsh_pairs_xxh",
     "neardup_clusters",
     "partition_pruned_scan",
+    "clustered_range_scan",
     "jdbc_scan",
     "pii_scrub",
     "stratified_sample",
