@@ -129,12 +129,24 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from .operators.compact import compact
+    from .operators.compact import cluster_rewrite, compact
     from .sources.lake import LakeTable
 
     spark = _spark(args, "cdc-compact")
     table = LakeTable.load(spark, args.table_dir)
     before = len(table.files())
+    if args.cluster_by:
+        cols = tuple(c.strip() for c in args.cluster_by.split(",") if c.strip())
+        cluster_rewrite(
+            table, cols,
+            target_rows_per_file=args.rows_per_file,
+            order=args.cluster_order,
+        )
+        _emit({"op": "compact", "table_dir": args.table_dir, "mode": "cluster",
+               "cluster_by": list(cols), "cluster_order": args.cluster_order,
+               "files_before": before, "files_after": len(table.files()),
+               "final_version": table.version})
+        return 0
     compact(
         table,
         min_files_per_bucket=args.compact_min_files,
@@ -431,6 +443,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--rows-per-file", type=int, default=2_000_000)
     c.add_argument("--compact-mode", choices=("major", "minor"), default="major",
                    help="minor = LSM-style delta-only fold, base untouched")
+    c.add_argument("--cluster-by", default=None,
+                   help="comma-separated columns: full sort-order clustering "
+                        "rewrite instead of a fold (OPTIMIZE/rewrite_data_files"
+                        " sort analog)")
+    c.add_argument("--cluster-order", choices=("linear", "zorder"),
+                   default="linear")
     c.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("expire", help="expire snapshots + vacuum orphan files")

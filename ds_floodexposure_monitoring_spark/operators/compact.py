@@ -313,14 +313,96 @@ def compact(
     )
 
 
+def _zvalue_column(
+    table: LakeTable, cur: dict, df: DataFrame, by: tuple[str, ...]
+) -> "F.Column":
+    """Morton z-value over ``by`` as a pure-JVM expression (no UDF).
+
+    Each column is normalized to a ``bits``-bit integer rank against its
+    TABLE-WIDE bounds, then the ranks' bits are interleaved
+    (rank_j bit i → z bit ``i*k + j``). Bounds come FREE from the
+    snapshot manifest's per-file stats (min over file mins, max over
+    file maxes — a superset of the live data is fine, it only coarsens
+    the grid); only if some file predates the stat does a one-pass
+    min/max agg run. Timestamps rank on the same epoch-micros basis the
+    manifest stats use; nulls rank 0 (cluster together, never pruned
+    incorrectly — pruning still goes through the real per-file min/max
+    envelopes, the z-value is LAYOUT ONLY)."""
+    from pyspark.sql import types as T
+
+    from ..sources.lake import _stat_scalar
+
+    schema = {f.name: f.dataType for f in table.schema(cur).fields}
+    for c in by:
+        if not isinstance(
+            schema[c],
+            (T.TimestampType, T.TimestampNTZType, T.LongType, T.IntegerType,
+             T.ShortType, T.ByteType, T.DoubleType, T.FloatType, T.DecimalType,
+             T.DateType),
+        ):
+            raise ValueError(
+                f"zorder column {c!r} has non-orderable-numeric type "
+                f"{schema[c].simpleString()}; z-ordering interleaves numeric "
+                "ranks — use linear order for string columns"
+            )
+
+    def _num(c: str):
+        if isinstance(schema[c], (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(c)).cast("double")
+        if isinstance(schema[c], T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
+    files = table.files(cur)
+    bounds: dict[str, tuple[float, float]] = {}
+    need_agg = []
+    for c in by:
+        stats = [(f.col_stats or {}).get(c) for f in files]
+        if any(s is None or s[0] is None or s[1] is None for s in stats):
+            need_agg.append(c)
+            continue
+        bounds[c] = (float(min(s[0] for s in stats)),
+                     float(max(s[1] for s in stats)))
+    if need_agg:
+        row = df.agg(
+            *[a for c in need_agg for a in (F.min(c), F.max(c))]
+        ).first()
+        for i, c in enumerate(need_agg):
+            lo, hi = row[2 * i], row[2 * i + 1]
+            if lo is None:  # all-null column: constant rank
+                bounds[c] = (0.0, 0.0)
+            else:
+                bounds[c] = (float(_stat_scalar(lo)), float(_stat_scalar(hi)))
+
+    k = len(by)
+    bits = max(1, min(20, 60 // k))
+    maxrank = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(by):
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        rank = F.floor((_num(c) - F.lit(lo)) / F.lit(span) * F.lit(float(maxrank)))
+        rank = F.least(F.lit(maxrank).cast("long"),
+                       F.greatest(F.lit(0).cast("long"), rank.cast("long")))
+        rank = F.when(F.col(c).isNull(), F.lit(0).cast("long")).otherwise(rank)
+        for i in range(bits):
+            # non-overlapping bit fields: sum == bitwise OR
+            z = z + F.shiftleft(
+                F.shiftright(rank, i).bitwiseAND(F.lit(1).cast("long")),
+                i * k + j,
+            )
+    return z
+
+
 def cluster_rewrite(
     table: LakeTable,
     by: tuple[str, ...],
     target_rows_per_file: int = 2_000_000,
+    order: str = "linear",
 ) -> CompactStats | None:
     """Sort-order data clustering: rewrite the table so files cover
     near-DISJOINT ranges of ``by`` (the Iceberg ``rewrite_data_files``
-    sort-strategy / Delta ``OPTIMIZE`` analog, linear order).
+    sort-strategy / Delta ``OPTIMIZE`` analog).
 
     Ingest-order files all span the full range of a column like event
     time — every time-bounded read opens every file. After clustering,
@@ -329,13 +411,28 @@ def cluster_rewrite(
     files). The merge keys ride as a SECONDARY sort, so per-row-group
     key stats stay useful for point lookups.
 
+    ``order="linear"`` concatenates the sort keys — perfect pruning on
+    ``by[0]``, none on later columns. ``order="zorder"`` (Delta
+    ``OPTIMIZE ZORDER BY`` / Iceberg z-order strategy analog)
+    interleaves the columns' normalized bit ranks into a Morton value
+    and clusters on THAT: every file becomes a compact hyper-cube in
+    ``by``-space, so range reads on EACH of the columns independently
+    prune to ~F^(1-1/k) of the files. The z-value is a pure-JVM
+    expression (shift/mask/sum, whole-stage codegen), computed from
+    manifest-derived bounds — layout-only, dropped before write;
+    correctness never depends on it because pruning still evaluates the
+    real per-file min/max envelopes.
+
     Scale shape: ONE sampled range exchange
-    (``repartitionByRange(b, *by)`` — the same machinery Spark's global
-    sort uses; no single-task funnels, hot ranges split across tasks by
-    the sampler) + a task-local sort + the standard task writer. This
-    is a FULL resolved rewrite, like rebucket: schedule it like a major
-    compaction, not per batch. Rows rewritten after partition evolution
-    migrate to the current spec. Tombstones ride through unchanged."""
+    (``repartitionByRange(b, *keys)`` — the same machinery Spark's
+    global sort uses; no single-task funnels, hot ranges split across
+    tasks by the sampler) + a task-local sort + the standard task
+    writer. This is a FULL resolved rewrite, like rebucket: schedule it
+    like a major compaction, not per batch. Rows rewritten after
+    partition evolution migrate to the current spec. Tombstones ride
+    through unchanged."""
+    if order not in ("linear", "zorder"):
+        raise ValueError(f"unknown cluster order {order!r}")
     cur = table.current()
     stat_ok = set(cur.get("stat_cols", []))
     pspec = cur.get("partition_spec")
@@ -356,7 +453,21 @@ def cluster_rewrite(
     df = table.scan(include_internal=True)  # resolved live rows + tombstones
     df = df.withColumn("b", table.bucket_expr())
     n_out = max(1, -(-rows_before // target_rows_per_file))
-    clustered = df.repartitionByRange(n_out, F.col("b"), *[F.col(c) for c in by])
+    if order == "zorder":
+        if len(by) < 2:
+            raise ValueError("zorder needs >= 2 columns (use linear for 1)")
+        df = df.withColumn("__z", _zvalue_column(table, cur, df, by))
+        clustered = df.repartitionByRange(n_out, F.col("b"), F.col("__z"))
+        # sort here (the writer's sort_by can't see computed columns) and
+        # drop the layout column before the write — a projection over the
+        # sort preserves row order
+        clustered = clustered.sortWithinPartitions(
+            "b", "__z", *table.merge_keys
+        ).drop("__z")
+        sort_by = None
+    else:
+        clustered = df.repartitionByRange(n_out, F.col("b"), *[F.col(c) for c in by])
+        sort_by = [*by, *table.merge_keys]
     # observe AFTER the range exchange: repartitionByRange's boundary
     # sampler executes the child plan once more, and an upstream observe
     # would double-count and trip the consistency guard
@@ -364,7 +475,7 @@ def cluster_rewrite(
     clustered = clustered.observe(obs, F.count(F.lit(1)).alias("rows"))
     new_files = table.write_data_files(
         clustered, table.schema(cur), cur["schema_version"],
-        sort_by=[*by, *table.merge_keys],
+        sort_by=sort_by,
         pre_partitioned=True,
         mark_base=True,  # bucket-complete resolve: minors exempt these
     )
@@ -375,7 +486,7 @@ def cluster_rewrite(
         operation="cluster-rewrite",
         requires_resolve=False,
         expected_parent_version=cur["version"],
-        summary_extra={"cluster_by": list(by)},
+        summary_extra={"cluster_by": list(by), "cluster_order": order},
     )
     return CompactStats(
         buckets_compacted=len({f.bucket for f in old_files}),

@@ -83,6 +83,77 @@ def test_cluster_rewrite_prunes_range_reads(spark, staged):
     assert got_sr == want
 
 
+def _independent_batch(spark, lo, n, tag):
+    """ts and turn_idx vary independently (pseudo-random interleave), so
+    linear ts-order would leave turn_idx unclustered — the case z-order
+    exists for."""
+    rows = [
+        (lo + i, f"c{(lo + i) % 300:04d}", ((lo + i) * 13) % 997, "user",
+         f"{tag}-{lo + i}", None,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=((lo + i) * 37) % 43200))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, DDL)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "zo"), transcript_schema(),
+        n_buckets=4, stat_cols=("ts", "turn_idx"),
+    )
+    for i in range(3):
+        merge_append(t, _independent_batch(spark, i * 2400, 2400, f"b{i}"),
+                     batch_id=f"b{i}")
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in t.scan().collect()
+    )
+
+    st = cluster_rewrite(t, ("ts", "turn_idx"), target_rows_per_file=60,
+                         order="zorder")
+    assert st is not None and st.rows_before == st.rows_after
+    assert t.current()["summary"]["cluster_order"] == "zorder"
+
+    got = sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
+    assert got == want and got
+
+    n = len(t.files())
+    assert n >= 12  # enough files for pruning ratios to mean something
+    # a ~13% window on EACH dimension independently prunes: z-order files
+    # are compact cubes, so both per-file envelopes are tight
+    lo_ts = dt.datetime(2024, 1, 10)
+    hi_ts = dt.datetime(2024, 1, 14)
+    kept_ts = len(t.prune_for_range("ts", lo_ts, hi_ts))
+    kept_ti = len(t.prune_for_range("turn_idx", 400, 530))
+    assert kept_ts < 0.6 * n, (kept_ts, n)
+    assert kept_ti < 0.6 * n, (kept_ti, n)
+    # and the pruned range reads stay exact
+    want_ti = sorted(
+        (r.conv_id, r.turn_idx) for r in t.scan()
+        .where(F.col("turn_idx").between(400, 530))
+        .select("conv_id", "turn_idx").collect()
+    )
+    got_ti = sorted(
+        (r.conv_id, r.turn_idx) for r in t.scan_range("turn_idx", 400, 530)
+        .where(F.col("turn_idx").between(400, 530))
+        .select("conv_id", "turn_idx").collect()
+    )
+    assert got_ti == want_ti and got_ti
+
+
+def test_zorder_guards(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "zg"), transcript_schema(),
+        n_buckets=2, stat_cols=("ts", "role"),
+    )
+    merge_append(t, _independent_batch(spark, 0, 60, "a"), batch_id="a")
+    with pytest.raises(ValueError, match="zorder needs >= 2"):
+        cluster_rewrite(t, ("ts",), order="zorder")
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        cluster_rewrite(t, ("ts", "role"), order="zorder")
+    with pytest.raises(ValueError, match="unknown cluster order"):
+        cluster_rewrite(t, ("ts",), order="hilbert")
+
+
 def test_cluster_rewrite_guards_and_tombstones(spark, tmpdir_path):
     t = LakeTable.create(
         spark, os.path.join(tmpdir_path, "cg"), transcript_schema(),
