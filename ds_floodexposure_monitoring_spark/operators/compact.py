@@ -145,9 +145,9 @@ def merge_append(
         to_write, write_schema, schema_version, pre_partitioned=True
     )
     if not new_files:
-        snap = table.commit(
+        snap = table.commit_retrying(
             set(), [], batch_id=batch_id, operation="merge-append-empty",
-            expected_parent_version=cur["version"],
+            validation="append", expected_parent_version=cur["version"],
         )
         return AppendStats(0, 0, 0, 0, 0, snap["version"], [], [], None)
     m = obs.get
@@ -158,7 +158,7 @@ def merge_append(
     for f in new_files:
         bucket_rows[f.bucket] = bucket_rows.get(f.bucket, 0) + f.rows
 
-    snap = table.commit(
+    snap = table.commit_retrying(
         set(),
         new_files,
         new_schema=write_schema if evo.changed else None,
@@ -166,6 +166,7 @@ def merge_append(
         operation="merge-append",
         requires_resolve=True,
         summary_extra={"batch_rows": int(m["batch_rows"])},
+        validation="append",
         expected_parent_version=cur["version"],
     )
     rows_written = sum(f.rows for f in new_files)
@@ -294,11 +295,12 @@ def compact(
         requires_resolve = any(
             len(fs) >= 2 for b, fs in by_bucket.items() if b not in victims
         )
-    snap = table.commit(
+    snap = table.commit_retrying(
         {f.path for f in vfiles},
         new_files,
         operation=f"compact-{mode}",
         requires_resolve=requires_resolve,
+        validation="rewrite",
         expected_parent_version=cur["version"],
     )
     return CompactStats(
@@ -480,11 +482,12 @@ def cluster_rewrite(
         mark_base=True,  # bucket-complete resolve: minors exempt these
     )
     _check_write_consistency(int(obs.get["rows"]), new_files)
-    snap = table.commit(
+    snap = table.commit_retrying(
         {f.path for f in old_files},
         new_files,
         operation="cluster-rewrite",
         requires_resolve=False,
+        validation="rewrite",
         expected_parent_version=cur["version"],
         summary_extra={"cluster_by": list(by), "cluster_order": order},
     )

@@ -121,11 +121,12 @@ def _rewrite(
     for f in table.files(cur):
         by_bucket[f.bucket] = by_bucket.get(f.bucket, 0) + 1
     leftover_multi = any(n >= 2 for b, n in by_bucket.items() if b not in buckets)
-    snap = table.commit(
+    snap = table.commit_retrying(
         {f.path for f in victims},
         new_files,
         operation=operation,
         requires_resolve=cur.get("requires_resolve", False) and leftover_multi,
+        validation="rewrite",
         expected_parent_version=cur["version"],
         summary_extra={"buckets_rewritten": len(buckets), "rows_matched": matched},
     )
@@ -281,10 +282,11 @@ def _delete_matching_pointwise(
         new_files.extend(written)
         total_rows += sum(f.rows for f in written)
 
-    snap = table.commit(
+    snap = table.commit_retrying(
         {f.path for f in victims},
         new_files,
         operation="delete-matching",
+        validation="rewrite",
         expected_parent_version=cur["version"],
         summary_extra={
             "buckets_rewritten": len({f.bucket for f in victims}),
@@ -364,11 +366,12 @@ def _append_corrections(
         to_write, table.schema(cur), cur["schema_version"], sort_by=table.merge_keys
     )
     _check_write_consistency(int(obs.get["rows"]), new_files)
-    snap = table.commit(
+    snap = table.commit_retrying(
         set(),
         new_files,
         operation=operation,
         requires_resolve=True,  # deltas overlap stored rows by key
+        validation="append",
         expected_parent_version=cur["version"],
         summary_extra={"buckets_touched": len(per_bucket), "rows_matched": matched},
     )

@@ -128,9 +128,9 @@ def merge_into(
         )
         batch_rows = sum(r["n"] for r in census)
         if batch_rows == 0:
-            snap = table.commit(
+            snap = table.commit_retrying(
                 set(), [], batch_id=batch_id, operation="merge-empty",
-                expected_parent_version=cur["version"],
+                validation="append", expected_parent_version=cur["version"],
             )
             return MergeStats(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, snap["version"], [], [])
         ranges = {r["b"]: (r["mn"], r["mx"], r["n"]) for r in census}
@@ -249,13 +249,14 @@ def merge_into(
         agg = obs.get
         _check_write_consistency(int(agg["rows"]), new_files)
 
-        snap = table.commit(
+        snap = table.commit_retrying(
             removed_paths,
             new_files,
             new_schema=write_schema if evo.changed else None,
             batch_id=batch_id,
             operation="merge",
             summary_extra={"batch_rows": batch_rows},
+            validation="rewrite",
             expected_parent_version=cur["version"],
         )
         return MergeStats(

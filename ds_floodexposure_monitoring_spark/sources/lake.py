@@ -2034,6 +2034,116 @@ class LakeTable:
         self._write_snapshot(snap)
         return snap
 
+    def commit_retrying(
+        self,
+        removed_paths: set[str],
+        added_files: list["DataFile"],
+        *,
+        validation: str,
+        expected_parent_version: int,
+        max_retries: int = 4,
+        **commit_kwargs,
+    ) -> dict:
+        """Optimistic-concurrency commit: on a lost commit race,
+        revalidate against the NEW head and retry the metadata commit
+        alone — the data files already written are reused, nothing is
+        recomputed (Iceberg's SnapshotProducer validate-and-retry loop;
+        the reference has no concurrent writers at all — one cron
+        process per pipeline).
+
+        ``validation="append"`` (``removed_paths`` must be empty): the
+        added files are new data no concurrent commit can have seen, so
+        a retry against the advanced head is always safe UNLESS
+        (a) the head now carries this commit's ``batch_id`` — a
+        duplicate delivery raced us and won; exactly-once means this is
+        SUCCESS: the winning snapshot is returned and our orphaned data
+        files are left for vacuum; or (b) the head's schema epoch moved
+        (evolution or rename) — the added files' stamped
+        ``schema_version`` and the planned evolution were computed
+        against the old epoch, so the batch must be re-planned (raises).
+
+        ``validation="rewrite"``: the commit replaces files it read.
+        Retry is valid iff every removed path is still live at the new
+        head AND the affected buckets' file sets are unchanged since the
+        planned parent (the concurrent commit touched only OTHER
+        buckets — its changes carry over untouched); a commit claiming
+        table-wide resolution (explicit ``requires_resolve=False``) also
+        requires that no file was added ANYWHERE, since an unseen delta
+        would falsify the claim. Anything else raises
+        ``CommitConflictError`` and the caller re-plans from fresh
+        state, exactly like Iceberg's
+        ``validateNoNewDeletesForDataFiles`` family.
+
+        Versions are globally numbered across branches, so losing the
+        snapshot-file CAS to a *different branch's* writer leaves this
+        branch's head unchanged — that case retries with no validation
+        at all (nothing about this branch moved)."""
+        if validation not in ("append", "rewrite"):
+            raise ValueError(f"unknown conflict validation {validation!r}")
+        if validation == "append" and removed_paths:
+            raise ValueError("validation='append' requires removed_paths == set()")
+        planned = self.snapshot(expected_parent_version)
+        parent_v = expected_parent_version
+        for attempt in range(max_retries + 1):
+            try:
+                return self.commit(
+                    removed_paths, added_files,
+                    expected_parent_version=parent_v, **commit_kwargs,
+                )
+            except CommitConflictError:
+                if attempt == max_retries:
+                    raise
+            head = self.current()
+            if head["version"] == parent_v:
+                continue  # cross-branch version-number collision only
+            bid = commit_kwargs.get("batch_id")
+            if bid is not None and bid in self.committed_batch_ids():
+                by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+                s: dict | None = head
+                while s is not None:
+                    if s.get("batch_id") == bid:
+                        return s  # exactly-once: the race winner IS this batch
+                    s = by_id.get(s.get("parent"))
+                raise AssertionError("batch_id in ancestry but snapshot not found")
+            if head["schema_version"] != planned["schema_version"] or len(
+                head.get("renames", [])
+            ) != len(planned.get("renames", [])):
+                raise CommitConflictError(
+                    "concurrent schema change: head schema epoch moved from "
+                    f"{planned['schema_version']} to {head['schema_version']} "
+                    "while this commit was planned; re-plan against fresh state"
+                )
+            if validation == "rewrite":
+                head_files = {d["path"]: d for d in head["files"]}
+                planned_files = {d["path"]: d for d in planned["files"]}
+                missing = removed_paths - set(head_files)
+                if missing:
+                    raise CommitConflictError(
+                        f"{len(missing)} input file(s) of this rewrite were "
+                        "removed by a concurrent commit (e.g. a competing "
+                        "compaction); re-plan against fresh state"
+                    )
+                affected = {planned_files[p]["bucket"] for p in removed_paths} | {
+                    f.bucket for f in added_files
+                }
+                head_b = {p for p, d in head_files.items() if d["bucket"] in affected}
+                plan_b = {p for p, d in planned_files.items() if d["bucket"] in affected}
+                if head_b != plan_b:
+                    raise CommitConflictError(
+                        "a concurrent commit changed files in the buckets this "
+                        f"rewrite covers ({sorted(affected)[:8]}...); re-plan"
+                    )
+                if commit_kwargs.get("requires_resolve") is False and (
+                    set(head_files) - set(planned_files)
+                ):
+                    raise CommitConflictError(
+                        "this rewrite claims table-wide resolution but a "
+                        "concurrent commit added files since it was planned; "
+                        "re-plan"
+                    )
+            parent_v = head["version"]
+        raise AssertionError("unreachable")
+
     def committed_batch_ids(self) -> set[str]:
         """Batch ids on THIS branch's retained ancestry (parent chain
         from this head), for exactly-once replay detection.
