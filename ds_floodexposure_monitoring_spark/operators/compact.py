@@ -350,7 +350,10 @@ def _zvalue_column(
 
     def _num(c: str):
         if isinstance(schema[c], (T.TimestampType, T.TimestampNTZType)):
-            return F.unix_micros(F.col(c)).cast("double")
+            # cast-then-unix_micros is the same epoch-micros basis the
+            # partition transforms use (lake._partition_transform_expr)
+            # and accepts NTZ, which bare unix_micros rejects
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
         if isinstance(schema[c], T.DateType):
             return F.unix_date(F.col(c)).cast("double")
         return F.col(c).cast("double")

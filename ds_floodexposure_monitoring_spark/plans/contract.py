@@ -398,6 +398,85 @@ def clustered_range_scan(spark: SparkSession, sf: str) -> DataFrame:
     return t.scan_range("ts", lo, hi).select("user_id", "event_type", "value", "ts")
 
 
+def _zordered_events_table_shared(spark: SparkSession, sf: str):
+    """Memoized staged table rewritten by
+    ``cluster_rewrite(by=("ts", "user_id"), order="zorder")`` — the
+    Morton-interleaved layout where every file is a compact rectangle in
+    (ts, user_id)-space, so range reads on EITHER column independently
+    prune files. Same ``_STAGED_CACHE`` discipline as the linear
+    clustered scaffold."""
+    from ..operators.compact import cluster_rewrite
+
+    per = _STAGED_CACHE.get(spark)
+    if per is None:
+        per = _STAGED_CACHE[spark] = {}
+    key = ("zordered", sf)
+    hit = per.get(key)
+    if hit is not None:
+        t, ver = hit
+        if t.version == ver:
+            return t
+    t, _versions = _staged_events_table(
+        spark, sf, "zord", stat_cols=("ts", "user_id")
+    )
+    cluster_rewrite(
+        t, ("ts", "user_id"), target_rows_per_file=500_000, order="zorder"
+    )
+    per[key] = (t, t.version)
+    return t
+
+
+@_reg(
+    "zorder_multirange_scan",
+    """
+    WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,
+                      min(ts) + INTERVAL 13 DAY AS hi,
+                      min(user_id) AS ulo FROM events),
+    s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT s.user_id, s.event_type, s.value, s.ts FROM s, b
+    WHERE s.ts BETWEEN b.lo AND b.hi
+       OR s.user_id BETWEEN b.ulo AND b.ulo + 19
+    """,
+    note="z-order clustering (Delta OPTIMIZE ZORDER BY / Iceberg z-order "
+         "rewrite analog): cluster_rewrite(order='zorder') interleaves "
+         "the columns' normalized bit ranks into a Morton value (pure-"
+         "JVM shift/mask expression over manifest-derived bounds, "
+         "layout-only, dropped before write) and range-clusters on it, "
+         "so every file becomes a compact rectangle in (ts, user_id)-"
+         "space and a bounded read on EITHER column alone prunes files "
+         "— linear order can only prune its leading column; the OR-"
+         "predicate read is served as the key-dedup union of the two "
+         "independently file-pruned scans, each exact because pruning "
+         "rides the real per-file min/max envelopes, never the z-value "
+         "(operators/compact._zvalue_column)",
+)
+def zorder_multirange_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """3 MOR batches, zorder rewrite on (ts, user_id), then an
+    OR-of-ranges read: ts in a 3-day window OR user_id in a 20-id band,
+    each side pruned independently by the z-ordered layout."""
+    import datetime as dt
+
+    t = _zordered_events_table_shared(spark, sf)
+    row = table(spark, sf, "events").agg(
+        F.min("ts").alias("mn"), F.min("user_id").alias("ulo")
+    ).collect()[0]
+    lo, hi = row["mn"] + dt.timedelta(days=10), row["mn"] + dt.timedelta(days=13)
+    ulo = row["ulo"]
+    keys = ("user_id", "event_type")
+    a = t.scan_range("ts", lo, hi).where(F.col("ts").between(lo, hi))
+    b = t.scan_range("user_id", ulo, ulo + 19).where(
+        F.col("user_id").between(ulo, ulo + 19)
+    )
+    return (
+        a.unionByName(b)
+        .dropDuplicates(list(keys))
+        .select("user_id", "event_type", "value", "ts")
+    )
+
+
 @_reg(
     "point_lookup_lake",
     """
