@@ -82,6 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
     # new in round 4
+    "online_neardup_ingest",
     "zorder_multirange_scan",
     "clustered_range_scan",
     "jdbc_scan",

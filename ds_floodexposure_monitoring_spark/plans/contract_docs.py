@@ -224,6 +224,16 @@ def _hhex_sql(expr: str, seed) -> str:
 
 N_DIGESTS = N_MINHASH // 2
 
+
+def _md5_half(i: int) -> F.Column:
+    """The oracle-exact md5-half hash family over shingle column ``w``:
+    each md5 digest yields TWO independent 60-bit hashes (hex halves),
+    inlined so codegen CSE shares the digest across its halves; hex
+    strings compare exactly like the integers (fixed length,
+    lexicographic == numeric), and DuckDB mirrors them verbatim."""
+    digest = F.md5(F.encode(F.concat(F.col("w"), F.lit(f"|{i // 2}")), "UTF-8"))
+    return F.substring(digest, 1 if i % 2 == 0 else 17, 15)
+
 _MINHASH_SQL = f"""
     WITH {_JACCARD_CTES},
     hb AS (
@@ -323,11 +333,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # subexpression elimination shares each digest across its two
     # halves. Hashes stay fixed-length hex strings — min/equality
     # identical to the integers, no per-value conv.
-    def _half(i: int) -> F.Column:
-        digest = F.md5(F.encode(F.concat(F.col("w"), F.lit(f"|{i // 2}")), "UTF-8"))
-        return F.substring(digest, 1 if i % 2 == 0 else 17, 15)
-
-    return _minhash_pairs_plan(spark, sf, _half)
+    return _minhash_pairs_plan(spark, sf, _md5_half)
 
 
 @_reg(
@@ -355,6 +361,110 @@ def minhash_lsh_pairs_xxh(spark: SparkSession, sf: str) -> DataFrame:
     return _minhash_pairs_plan(
         spark, sf, lambda i: F.xxhash64(F.col("w"), F.lit(i))
     )
+
+
+_ONLINE_NEARDUP_SQL = f"""
+    WITH {_JACCARD_CTES},
+    cpt AS (SELECT (2 * max(doc_id)) // 3 AS cut FROM documents),
+    hb AS (
+      SELECT doc_id,
+             {", ".join(f"md5(w || '|{d}') AS m{d}" for d in range(N_DIGESTS))}
+      FROM toks
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"min(substr(m{i // 2}, {1 if i % 2 == 0 else 17}, 15)) AS h{i}" for i in range(N_MINHASH))}
+      FROM hb GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_id, h{2 * bi} AS k1, h{2 * bi + 1} AS k2 FROM mh" for bi in range(N_MINHASH // LSH_BAND_ROWS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+      WHERE a.doc_id <= (SELECT cut FROM cpt)
+        AND b.doc_id >  (SELECT cut FROM cpt)
+    )
+    SELECT c2.doc_a, c2.doc_b,
+           ROUND(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 6) AS jaccard
+    FROM cand c2
+    JOIN common cm ON cm.doc_a = c2.doc_a AND cm.doc_b = c2.doc_b
+    JOIN sizes sa ON sa.doc_id = c2.doc_a
+    JOIN sizes sb ON sb.doc_id = c2.doc_b
+    WHERE CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c) >= {JACCARD_T}
+"""
+
+_INDEX_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _neardup_index_shared(spark: SparkSession, sf: str):
+    """Memoized LSH band index over the first two-thirds of the corpus,
+    built INCREMENTALLY (two index_append batches) — the maintained-
+    index scaffold the online probe runs against. Version-guarded like
+    the other read-only scaffolds."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.neardup_index import create_index, index_append
+
+    per = _INDEX_CACHE.get(spark)
+    if per is None:
+        per = _INDEX_CACHE[spark] = {}
+    hit = per.get(sf)
+    if hit is not None:
+        idx, ver, cut = hit
+        if idx.version == ver:
+            return idx, cut
+    docs = _shingle_sets(spark, sf)
+    cut = docs.agg(F.max("doc_id")).collect()[0][0] * 2 // 3
+    h = hashlib.md5(f"{sf}|ndidx".encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-ndidx-{h}")
+    shutil.rmtree(d, ignore_errors=True)
+    idx = create_index(spark, d, n_buckets=8)
+    half = cut // 2
+    index_append(
+        idx, docs.where(F.col("doc_id") <= half), _md5_half, batch_id="seed-1"
+    )
+    index_append(
+        idx,
+        docs.where((F.col("doc_id") > half) & (F.col("doc_id") <= cut)),
+        _md5_half,
+        batch_id="seed-2",
+    )
+    per[sf] = (idx, idx.version, cut)
+    return idx, cut
+
+
+@_reg(
+    "online_neardup_ingest",
+    _ONLINE_NEARDUP_SQL,
+    note="online near-dup detection at ingest (incremental dedup): a "
+         "MinHash-LSH band index maintained as a lake table (merge keys "
+         "(band_key, doc_id), built here in two index_append batches "
+         "over the first 2/3 of the corpus) is probed by the last third "
+         "as the arriving CDC batch — band rows for the BATCH ONLY join "
+         "the index on band_key, candidates get exact-Jaccard "
+         "verification, so per-batch work is O(batch x bands + "
+         "candidates), never the O(corpus) re-shingle+re-band of the "
+         "batch near-dup jobs; md5-half hash family mirrors exactly in "
+         "the oracle (same mins, same bands, same candidates — "
+         "equality, not a recall assumption), and verification makes "
+         "every returned pair unconditionally true "
+         "(operators/neardup_index.py)",
+)
+def online_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Probe the maintained band index with the newest third of the
+    corpus; return (indexed doc, new doc, jaccard) near-dup pairs."""
+    from ..operators.neardup_index import probe_index
+
+    docs = _shingle_sets(spark, sf)
+    idx, cut = _neardup_index_shared(spark, sf)
+    batch = docs.where(F.col("doc_id") > cut)
+    corpus = docs.where(F.col("doc_id") <= cut)
+    return probe_index(idx, batch, corpus, _md5_half, JACCARD_T)
 
 
 _CLUSTERS_SQL = f"""
