@@ -56,6 +56,8 @@ HEADLINE = [
     "neardup_clusters",
     "partition_pruned_scan",
     "clustered_range_scan",
+    "zorder_multirange_scan",
+    "online_neardup_ingest",
     "jdbc_scan",
     "pii_scrub",
     "stratified_sample",
