@@ -82,6 +82,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
     # new in round 4
+    "repetition_filter",
+    "ngram_topk",
     "online_neardup_ingest",
     "zorder_multirange_scan",
     "clustered_range_scan",

@@ -1498,3 +1498,124 @@ def contamination_flags(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count_distinct("w").alias("n_shared"))
         .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
     )
+
+
+# ------------------------------------------------- repetition quality
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1): a document
+# dominated by one repeated n-gram, or with a high duplicate-word
+# fraction, is boilerplate/spam and gets dropped before training.
+REP_TOP2_T = 0.06  # max 2-gram occupancy of the 2-gram stream
+REP_DUPW_T = 0.65  # duplicate-word fraction
+
+
+@_reg(
+    "repetition_filter",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    best AS (
+      SELECT doc_id, MAX(c) AS mx FROM (
+        SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    s AS (
+      SELECT w.doc_id,
+             ROUND(CASE WHEN len(ws) >= 2
+                        THEN CAST(best.mx AS DOUBLE) / (len(ws) - 1)
+                        ELSE 0.0 END, 4) AS top2_frac,
+             ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+               AS dup_word_frac
+      FROM w LEFT JOIN best ON w.doc_id = best.doc_id
+    )
+    SELECT doc_id, top2_frac, dup_word_frac,
+           (top2_frac >= {REP_TOP2_T} OR dup_word_frac >= {REP_DUPW_T})
+             AS flag_repetitive
+    FROM s
+    """,
+    note="Gopher-style repetition quality filter: most-frequent-2-gram "
+         "occupancy + duplicate-word fraction per document, flag when "
+         "either crosses its threshold. ZERO-shuffle plan: the top "
+         "2-gram count is the longest run in the doc's sorted 2-gram "
+         "array (array_sort + aggregate fold, all JVM higher-order "
+         "exprs, no Python, no explode) — per-document map work that "
+         "scales embarrassingly to 100 TB; the oracle computes the "
+         "same statistic relationally (unnest + group-count-max).",
+)
+def repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    ws = TXT.words(F.col("text"))
+    nw = F.size(ws)
+    grams = F.zip_with(
+        F.slice(ws, 1, nw - 1),
+        F.slice(ws, 2, nw - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc.best, run).alias("best"))
+    top_cnt = F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc.best)
+    top2 = F.round(
+        F.when(nw >= 2, top_cnt / (nw - 1).cast("double")).otherwise(F.lit(0.0)), 4
+    )
+    dupw = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(ws)) / nw.cast("double"), 4
+    )
+    return d.select(
+        "doc_id",
+        top2.alias("top2_frac"),
+        dupw.alias("dup_word_frac"),
+        ((top2 >= REP_TOP2_T) | (dupw >= REP_DUPW_T)).alias("flag_repetitive"),
+    )
+
+
+NGRAM_TOPK = 20
+
+
+@_reg(
+    "ngram_topk",
+    f"""
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+    )
+    GROUP BY gram
+    ORDER BY doc_freq DESC, gram ASC
+    LIMIT {NGRAM_TOPK}
+    """,
+    note="corpus heavy hitters: top-20 word 2-grams by DOCUMENT "
+         "frequency (distinct per doc, so one spammy doc can't own the "
+         "chart). Per-doc distinct happens in the array (array_distinct "
+         "before explode — map-side, shrinks the exchange), then one "
+         "hash agg with map-side partials and a TakeOrderedAndProject "
+         "top-k (per-partition partial top-k, only 20 rows ever reach "
+         "the driver) — no global sort. Ties broken by gram asc, so "
+         "the 20-row cut is a total order on (doc_freq, gram) and the "
+         "result is deterministic at any scale.",
+)
+def ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    ws = TXT.words(F.col("text"))
+    nw = F.size(ws)
+    grams = F.zip_with(
+        F.slice(ws, 1, nw - 1),
+        F.slice(ws, 2, nw - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(NGRAM_TOPK)
+    )
