@@ -84,6 +84,7 @@ _CHECK_PRIORITY = (
     # new in round 4
     "repetition_filter",
     "ngram_topk",
+    "partition_stats_metadata",
     "online_neardup_ingest",
     "zorder_multirange_scan",
     "clustered_range_scan",

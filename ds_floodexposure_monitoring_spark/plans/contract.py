@@ -578,6 +578,84 @@ def partition_retention_drop(spark: SparkSession, sf: str) -> DataFrame:
     return t.scan().select("user_id", "event_type", "value", "ts")
 
 
+def _resolved_partitioned_events_table_shared(spark: SparkSession, sf: str):
+    """Memoized days(ts)-partitioned staged table, MAJOR-compacted to a
+    fully resolved snapshot (every bucket folded, min_files_per_bucket=1)
+    so each live (user_id, event_type) appears in exactly ONE physical
+    row — manifest row counts ARE the logical state. Read-only
+    afterwards; same ``_STAGED_CACHE`` discipline as the other shared
+    scaffolds."""
+    from ..operators.compact import compact
+
+    per = _STAGED_CACHE.get(spark)
+    if per is None:
+        per = _STAGED_CACHE[spark] = {}
+    key = ("rpart", sf)
+    hit = per.get(key)
+    if hit is not None:
+        t, ver = hit
+        if t.version == ver:
+            return t
+    t, _versions = _staged_events_table(
+        spark, sf, "rpart", stat_cols=("ts",), partition_by="days(ts)"
+    )
+    compact(t, min_files_per_bucket=1)
+    per[key] = (t, t.version)
+    return t
+
+
+@_reg(
+    "partition_stats_metadata",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+      SELECT user_id, event_type, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY event_id DESC) = 1
+    )
+    GROUP BY 1
+    """,
+    note="Iceberg `partitions` metadata-table analog: per-partition row "
+         "counts answered from MANIFESTS ALONE — zero data-file I/O. "
+         "Valid because the scaffold is major-compacted to a resolved "
+         "snapshot (each live key = one physical row, every file's rows "
+         "are counted once under its exact partition value), so the "
+         "manifest sum per days(ts) partition equals the LWW state's "
+         "per-day count; n_users still requires one partition-pruned "
+         "columnar read of the single key column (distinct isn't "
+         "manifest-derivable). At 10^10 rows the n_rows half of this "
+         "query costs O(files) driver metadata, the production shape "
+         "for freshness dashboards and retention planning.",
+)
+def partition_stats_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day partition stats: n_rows from the manifest (metadata only),
+    n_users from a key-column-pruned scan grouped by partition day."""
+    t = _resolved_partitioned_events_table_shared(spark, sf)
+    meta = [(int(f.part), int(f.rows)) for f in t.files()]
+    counts = (
+        spark.createDataFrame(meta, "part_day int, rows long")
+        .groupBy("part_day")
+        .agg(F.sum("rows").cast("long").alias("n_rows"))
+    )
+    users = (
+        t.scan()
+        .select(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("part_day"),
+                "user_id")
+        .groupBy("part_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+    return (
+        counts.join(users, "part_day")
+        .select(
+            F.date_from_unix_date("part_day").cast("timestamp").alias("day"),
+            "n_rows",
+            "n_users",
+        )
+    )
+
+
 @_reg(
     "partition_evolution_scan",
     """
