@@ -340,3 +340,21 @@ def test_stratified_sample_shortfall_fallback_stays_exact(spark):
     got = sorted(tuple(r) for r in _stratified_sample_plan(d, 7, safety=0).collect())
     want = sorted(tuple(r) for r in _stratified_reference(d, 7).collect())
     assert got == want and len(got) == 14
+
+
+def test_repetition_filter_zero_shuffle(spark):
+    # per-doc statistic computed entirely in the array domain
+    # (array_sort + aggregate fold): one scan, no Exchange, no Python
+    p = _plan(spark, "repetition_filter")
+    assert "Exchange" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python ever
+
+
+def test_ngram_topk_partial_topk_no_global_sort(spark):
+    # top-k must ride TakeOrderedAndProject (per-partition partial
+    # top-k, 20 rows to the driver), never a full Sort of the gram
+    # counts; the count agg partial-aggregates before its exchange
+    p = _plan(spark, "ngram_topk")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2  # partial + final
