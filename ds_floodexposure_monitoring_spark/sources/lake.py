@@ -99,6 +99,13 @@ class DataFile:
     # ITS OWN spec, never the current one. None on unpartitioned files;
     # legacy manifests (written before evolution existed) read as 0.
     spec_id: int | None = None
+    # exact count of tombstone (delete-marker) rows in this file —
+    # Iceberg's per-manifest delete-count analog. Lets metadata answer
+    # live-row counts on resolved snapshots (count_rows): live =
+    # rows - tombstones, zero data I/O. None = unknown (legacy files;
+    # jvm-writer files whose footer stats can't prove the count) —
+    # consumers must then fall back to a scan.
+    tombstones: int | None = None
     # base64 bloom filter over this file's first-merge-key values
     # (parquet column-index bloom analog, kept in the manifest so the
     # DRIVER can skip files without any file I/O). Delta files inside a
@@ -126,6 +133,8 @@ class DataFile:
             d["part"] = self.part
         if self.spec_id is not None:
             d["spec_id"] = self.spec_id
+        if self.tombstones is not None:
+            d["tombstones"] = self.tombstones
         if self.key_bloom:
             d["key_bloom"] = self.key_bloom
         return d
@@ -137,6 +146,7 @@ class DataFile:
             d["schema_version"], d.get("col_stats"), d.get("base", False),
             d.get("part"),
             d.get("spec_id", 0 if d.get("part") is not None else None),
+            d.get("tombstones"),
             d.get("key_bloom"),
         )
 
@@ -611,6 +621,40 @@ def _make_footer_reader(
                 mx = st.max if mx is None else max(mx, st.max)
             return _scal(mn), _scal(mx)
 
+        def tombstone_count():
+            """Exact tombstone count when the footer can prove it, else
+            None (unknown). Null tombstone = live row; min/max footer
+            stats on the boolean column prove all-false / all-true row
+            groups exactly — the mixed case is unprovable from stats."""
+            ix = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == "_tombstone"
+                ),
+                None,
+            )
+            if ix is None:
+                return 0  # column never written: no tombstones
+            total = 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(ix).statistics
+                if st is None or st.null_count is None:
+                    return None
+                non_null = g.num_rows - st.null_count
+                if non_null == 0:
+                    continue
+                if not st.has_min_max:
+                    return None
+                if st.max is False:
+                    continue
+                if st.min is True:
+                    total += non_null
+                else:
+                    return None  # mixed true/false row group: unprovable
+            return total
+
         rel = _os.path.relpath(fpath, table_root)
         bucket = int(rel.split("b=")[1].split("/")[0])
         part = None
@@ -633,6 +677,7 @@ def _make_footer_reader(
             "schema_version": schema_version,
             "col_stats": col_stats or None,
             "part": part,
+            "tombstones": tombstone_count(),
         }
 
     return read_footer
@@ -763,6 +808,7 @@ def _make_task_writer(
                     }
                     or None,
                     "part": _scal(pv) if pv is not None else None,
+                    "tombstones": st["tomb"],
                     "key_bloom": (
                         _b64.b64encode(st["bloom"].tobytes()).decode("ascii")
                         if st.get("bloom") is not None
@@ -854,6 +900,7 @@ def _make_task_writer(
                 "buf": [],
                 "buf_rows": 0,
                 "rows": 0,
+                "tomb": 0,
                 "bounds": {c: None for c in [key0] + stat_cols},
                 "bloom": (
                     _np.zeros(key_bloom_bits >> 3, dtype=_np.uint8)
@@ -874,6 +921,12 @@ def _make_task_writer(
                 st = state[key] = open_state(key, batch, keep_idx)
             clock[0] += 1
             st["last"] = clock[0]
+            # exact per-file tombstone count ("_tombstone" inlined —
+            # closure stays self-contained like _bloom_k): null = live
+            ti = sub.schema.get_field_index("_tombstone")
+            if ti >= 0:
+                s = pc.sum(sub.column(ti)).as_py()  # true count, nulls skip
+                st["tomb"] += int(s or 0)
             update_bounds(st, sub)
             update_bloom(st, sub)
             st["buf"].append(sub.select(keep_idx))
@@ -1096,6 +1149,22 @@ class LakeTable:
 
     def total_rows(self) -> int:
         return sum(f.rows for f in self.files())
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Live-row count with aggregate pushdown to metadata (the
+        Iceberg count(*)-from-manifests analog): on a RESOLVED snapshot
+        every live key is physical exactly once, so the live count is
+        sum(rows - tombstones) over the manifest — zero data I/O,
+        O(files) driver time. Falls back to the distributed resolved
+        scan when the snapshot has unresolved MOR deltas (physical rows
+        double-count superseded versions) or when any file's tombstone
+        count is unknown (legacy manifest / unprovable jvm footer)."""
+        snap = self.current() if version is None else self.snapshot(version)
+        if not snap.get("requires_resolve", False):
+            fs = self.files(snap)
+            if all(f.tombstones is not None for f in fs):
+                return sum(f.rows - f.tombstones for f in fs)
+        return self.scan(version=version).count()
 
     def bucket_expr(self, key_col: str | None = None) -> F.Column:
         """bucket = pmod(xxhash64(first merge key[, seed]), n_buckets)."""
@@ -1579,13 +1648,14 @@ class LakeTable:
         file of a snapshot with its bucket, row count and key bounds."""
         snap = self.current() if version is None else self.snapshot(version)
         rows = [
-            (f.path, f.bucket, f.rows, f.min_key, f.max_key, f.schema_version)
+            (f.path, f.bucket, f.rows, f.tombstones, f.min_key, f.max_key,
+             f.schema_version)
             for f in self.files(snap)
         ]
         return self.spark.createDataFrame(
             rows,
-            "path string, bucket int, rows long, min_key string, "
-            "max_key string, schema_version long",
+            "path string, bucket int, rows long, tombstones long, "
+            "min_key string, max_key string, schema_version long",
         )
 
     def _bound_scalar(self, v):
