@@ -85,6 +85,7 @@ _CHECK_PRIORITY = (
     "repetition_filter",
     "ngram_topk",
     "partition_stats_metadata",
+    "partial_update_state",
     "online_neardup_ingest",
     "zorder_multirange_scan",
     "clustered_range_scan",

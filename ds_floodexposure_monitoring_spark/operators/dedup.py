@@ -60,3 +60,44 @@ def dedup_last_writer(
             .drop("_rn")
         )
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def partial_update_state(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    order_col: str = "lsn",
+    patch_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Partial-update merge engine (Apache Paimon's `merge-engine =
+    partial-update` / Debezium partial-event analog): per key, each
+    non-key column independently keeps its LAST NON-NULL value by
+    ``order_col`` — a patch event updates only the fields it carries,
+    nulls mean "not present in this event", and the folded row is the
+    union of every field's latest write.
+
+    Differs from :func:`dedup_last_writer` (row-granular LWW): there the
+    newest EVENT wins whole, erasing fields it doesn't carry; here
+    fields merge across events. Same 100-TB shape though: ONE hash
+    aggregation with map-side partial merge — each column is
+    ``max_by(col, CASE WHEN col IS NOT NULL THEN order END)`` (max_by
+    skips rows whose ordering is null, so absent fields never compete),
+    no window, no sort, no self-join. ``order_col`` itself folds to its
+    plain max so callers can watermark the merged row.
+
+    ``patch_cols``: which columns patch (default: every non-key,
+    non-order column). Deterministic when ``order_col`` is unique per
+    key (CDC LSNs are); ties on a shared order value may keep either
+    copy, exactly like row-LWW.
+    """
+    keys = list(keys)
+    if patch_cols is None:
+        patch_cols = [c for c in df.columns if c not in keys and c != order_col]
+    aggs = [
+        F.max_by(
+            F.col(c),
+            F.when(F.col(c).isNotNull(), F.col(order_col)),
+        ).alias(c)
+        for c in patch_cols
+    ]
+    aggs.append(F.max(order_col).alias(order_col))
+    return df.groupBy(*keys).agg(*aggs)

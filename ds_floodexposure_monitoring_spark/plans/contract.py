@@ -65,6 +65,68 @@ def lww_state(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "partial_update_state",
+    """
+    WITH p AS (
+      SELECT user_id, event_type, event_id,
+             CASE WHEN event_id % 3 <> 0 THEN value END AS value,
+             CASE WHEN event_id % 5 <> 0 THEN props END AS props,
+             CASE WHEN event_id % 7 <> 0 THEN ts END AS ts
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_type, event_id,
+             last_value(value IGNORE NULLS) OVER win AS value,
+             last_value(props IGNORE NULLS) OVER win AS props,
+             last_value(ts IGNORE NULLS) OVER win AS ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM p
+      WINDOW win AS (PARTITION BY user_id, event_type ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_type, value, props, ts,
+           CAST(event_id AS BIGINT) AS last_lsn
+    FROM w WHERE rn = 1
+    """,
+    note="partial-update merge engine (Apache Paimon merge-engine="
+         "partial-update / Debezium partial-event analog): each non-key "
+         "FIELD independently keeps its last non-null value by LSN, so "
+         "a patch event updates only the fields it carries — vs row-LWW "
+         "where the newest event erases fields it omits. The patch "
+         "stream is derived deterministically (value absent when "
+         "event_id%3=0, props %5, ts %7) identically on both sides. "
+         "Plan: ONE hash agg with map-side partials — per column "
+         "max_by(col, CASE WHEN col IS NOT NULL THEN lsn END) (max_by "
+         "skips null orderings, so absent fields never compete); no "
+         "window, no sort, no self-join — the oracle needs three "
+         "IGNORE-NULLS windows to say the same thing "
+         "(operators/dedup.partial_update_state)",
+)
+def partial_update_state(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import partial_update_state as _pus
+
+    ev = table(spark, sf, "events")
+    patch = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 5 != 0, F.col("props")).alias("props"),
+        F.when(F.col("event_id") % 7 != 0, F.col("ts")).alias("ts"),
+    )
+    out = _pus(
+        patch, keys=("user_id", "event_type"), order_col="event_id",
+        patch_cols=("value", "props", "ts"),
+    )
+    return out.select(
+        "user_id", "event_type", "value", "props", "ts",
+        F.col("event_id").alias("last_lsn"),
+    )
+
+
+@_reg(
     "cdc_merge_full",
     """
     SELECT user_id, event_type, value, ts
