@@ -86,6 +86,7 @@ _CHECK_PRIORITY = (
     "ngram_topk",
     "partition_stats_metadata",
     "partial_update_state",
+    "streaming_partial_update",
     "online_neardup_ingest",
     "zorder_multirange_scan",
     "clustered_range_scan",

@@ -110,3 +110,46 @@ def _run_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.stateful import run_sessionize_stream_sync
 
     return run_sessionize_stream_sync(spark, f"{sf}/events.parquet")
+
+
+REGISTRY["streaming_partial_update"] = QuerySpec(
+    fn=lambda spark, sf: _run_partial_update(spark, sf),
+    # identical semantics to the batch partial_update_state query: the
+    # stateful field-granular fold must converge to the same merged
+    # state once the watermark flushes every key
+    oracle_sql="""
+    WITH p AS (
+      SELECT user_id, event_type, event_id,
+             CASE WHEN event_id % 3 <> 0 THEN value END AS value,
+             CASE WHEN event_id % 5 <> 0 THEN props END AS props,
+             CASE WHEN event_id % 7 <> 0 THEN ts END AS ts
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_type, event_id,
+             last_value(value IGNORE NULLS) OVER win AS value,
+             last_value(props IGNORE NULLS) OVER win AS props,
+             last_value(ts IGNORE NULLS) OVER win AS ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM p
+      WINDOW win AS (PARTITION BY user_id, event_type ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_type, value, props, ts,
+           CAST(event_id AS BIGINT) AS last_lsn
+    FROM w WHERE rn = 1
+    """,
+    note="applyInPandasWithState partial-update merge engine (streaming "
+         "twin of partial_update_state): state keeps per-FIELD "
+         "(lsn, value) of the newest non-null write, patch events "
+         "compete only for fields they carry, keys evicted at the "
+         "watermark — oracle is the batch IGNORE-NULLS window SQL",
+)
+
+
+def _run_partial_update(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.stateful import run_partial_update_stream_sync
+
+    return run_partial_update_stream_sync(spark, f"{sf}/events.parquet")

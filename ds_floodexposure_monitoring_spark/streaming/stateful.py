@@ -268,3 +268,122 @@ def run_sessionize_stream_sync(spark: SparkSession, events_path: str) -> DataFra
 
     out_schema = T._parse_datatype_string(OUT_SCHEMA)
     return _drain_append_with_sentinel(spark, events_path, sessionize_stream, out_schema)
+
+
+PUS_OUT_SCHEMA = (
+    "user_id long, event_type string, value double, props string, "
+    "ts timestamp, last_lsn long"
+)
+# per-field (lsn, value) pairs; -1 lsn = field never written (state
+# columns stay non-null — sentinel instead of nullable state round-trips)
+PUS_STATE_SCHEMA = (
+    "lsn long, v_lsn long, value double, p_lsn long, props string, "
+    "t_lsn long, ts_us long"
+)
+PUS_QUIET_US = 1_000_000
+
+
+def _pus_fn(key, pdfs, state: GroupState):
+    """Keyed partial-update fold (streaming twin of
+    operators/dedup.partial_update_state): state keeps, PER FIELD, the
+    (lsn, value) of the field's newest non-null write; a patch event
+    only competes for the fields it carries. Emitted once the key is
+    quiet past the watermark — same eviction discipline as _lww_fn,
+    so state is bounded by live keys, not events."""
+    import pandas as pd
+
+    user_id, event_type = key
+
+    def emit(lsn, v_lsn, value, p_lsn, props, t_lsn, ts_us):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "value": [value if v_lsn >= 0 else None],
+                "props": [props if p_lsn >= 0 else None],
+                "ts": [pd.Timestamp(ts_us, unit="us") if t_lsn >= 0 else pd.NaT],
+                "last_lsn": [lsn],
+            }
+        )
+
+    if state.hasTimedOut:
+        fields = state.get
+        state.remove()
+        yield emit(*fields)
+        return
+
+    if state.exists:
+        lsn, v_lsn, value, p_lsn, props, t_lsn, ts_us = state.get
+    else:
+        lsn, v_lsn, value, p_lsn, props, t_lsn, ts_us = -1, -1, 0.0, -1, "", -1, 0
+    max_seen_us = 0
+
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ev_us = pdf["ev_ts"].astype("int64") // 1_000
+        max_seen_us = max(max_seen_us, int(ev_us.max()))
+        lsn = max(lsn, int(pdf["event_id"].max()))
+        nn = pdf[pdf["value"].notna()]
+        if len(nn):
+            i = nn["event_id"].idxmax()
+            if int(nn["event_id"].loc[i]) > v_lsn:
+                v_lsn = int(nn["event_id"].loc[i])
+                value = float(nn["value"].loc[i])
+        nn = pdf[pdf["props"].notna()]
+        if len(nn):
+            i = nn["event_id"].idxmax()
+            if int(nn["event_id"].loc[i]) > p_lsn:
+                p_lsn = int(nn["event_id"].loc[i])
+                props = str(nn["props"].loc[i])
+        nn = pdf[pdf["tsp"].notna()]
+        if len(nn):
+            i = nn["event_id"].idxmax()
+            if int(nn["event_id"].loc[i]) > t_lsn:
+                t_lsn = int(nn["event_id"].loc[i])
+                ts_us = int(nn["tsp"].loc[i].value // 1_000)
+
+    if lsn >= 0:
+        state.update((lsn, v_lsn, value, p_lsn, props, t_lsn, ts_us))
+        state.setTimeoutTimestamp((max_seen_us + PUS_QUIET_US) // 1_000)
+
+
+def partial_update_stream(events: DataFrame, watermark: str = "1 second") -> DataFrame:
+    """Streaming partial-update merge engine over the derived patch
+    stream (value absent when event_id%3=0, props %5, ts %7 — the same
+    deterministic derivation as the batch partial_update_state contract
+    query, so both converge to the identical field-merged state).
+    ``ev_ts`` (the raw event time) carries the watermark; the patched
+    ``tsp`` is just a data field that may be absent."""
+    src = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ev_ts"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value").cast("double")).alias("value"),
+        F.when(F.col("event_id") % 5 != 0, F.col("props")).alias("props"),
+        F.when(F.col("event_id") % 7 != 0, F.col("ts").cast("timestamp")).alias("tsp"),
+    )
+    return (
+        src.withWatermark("ev_ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _pus_fn,
+            PUS_OUT_SCHEMA,
+            PUS_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_partial_update_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drive the streaming partial-update fold to completion over a
+    bounded file source (sentinel watermark flush) and return the final
+    field-merged state per key (parquet-backed result path)."""
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(PUS_OUT_SCHEMA)
+    return _drain_append_with_sentinel(
+        spark, events_path, partial_update_stream, out_schema
+    )
