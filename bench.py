@@ -60,6 +60,9 @@ HEADLINE = [
     "online_neardup_ingest",
     "jdbc_scan",
     "pii_scrub",
+    "repetition_filter",
+    "ngram_topk",
+    "partial_update_state",
     "stratified_sample",
     "domain_mix_sample",
     "pack_sequences",
