@@ -70,6 +70,20 @@ def run_width(worker, width: int, seconds: float) -> float:
     return total / seconds
 
 
+def probe_pair(
+    narrow: int = 2, wide: int = 8, seconds: float = 10.0
+) -> tuple[float, float]:
+    """(cpu_eff, mem_eff) — the launch gate for paired scaling runs:
+    the replay's wide side is memory-bandwidth-bound first, so BOTH
+    must read clean (>= ~0.85) before a headline invocation."""
+    effs = []
+    for worker in (_cpu_worker, _mem_worker):
+        rn = run_width(worker, narrow, seconds)
+        rw = run_width(worker, wide, seconds)
+        effs.append(rw / ((wide / narrow) * rn))
+    return effs[0], effs[1]
+
+
 def main() -> None:
     narrow = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     wide = int(sys.argv[2]) if len(sys.argv) > 2 else 8

@@ -252,6 +252,28 @@ def main_paired() -> None:
     # (checkpoint cadence, compaction) is covered by the classic
     # protocol and bench.py.
     batch_events = int(sys.argv[4]) if len(sys.argv) > 4 else n_events
+    # Launch gate (fifth-invocation lesson, BENCH/HISTORY.md): the
+    # replay's wide side is memory-bound first, so a clean CPU probe
+    # alone is not enough — an epoch with mem-stream eff 0.81 produced
+    # wide halves at 40-65% of demonstrated capability at <1% steal.
+    # Probe BOTH axes and warn loudly (don't abort: a deliberately
+    # degraded-epoch invocation is still valid disclosure material).
+    try:
+        from host_probe import probe_pair  # same directory
+
+        cpu_eff, mem_eff = probe_pair()
+        print(
+            f"[gate] host probes: cpu {cpu_eff:.2f} mem {mem_eff:.2f}"
+            + (
+                " — DEGRADED EPOCH (want both >= ~0.85); results will "
+                "understate the engine"
+                if min(cpu_eff, mem_eff) < 0.85
+                else " — clean"
+            ),
+            flush=True,
+        )
+    except Exception as e:  # probe is advisory, never blocks the run
+        print(f"[gate] host probe unavailable: {e}", flush=True)
     root = tempfile.mkdtemp(prefix="scaling-paired-")
     generate_input(n_events, root)
 
