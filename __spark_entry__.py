@@ -87,6 +87,7 @@ _CHECK_PRIORITY = (
     "partition_stats_metadata",
     "partial_update_state",
     "streaming_partial_update",
+    "metadata_live_count",
     "online_neardup_ingest",
     "zorder_multirange_scan",
     "clustered_range_scan",

@@ -718,6 +718,69 @@ def partition_stats_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _tombstoned_events_table_shared(spark: SparkSession, sf: str):
+    """Memoized staged table with a MOR DELETE applied (user_id%10=3)
+    and then MAJOR-compacted WITHOUT a tombstone watermark — so the
+    resolved snapshot still holds one persisted tombstone row per
+    deleted key (they must keep guarding against redelivery). The
+    shape that makes metadata live-counts non-trivial: physical rows
+    != live rows even on a resolved snapshot."""
+    from ..operators.compact import compact
+    from ..operators.dml import delete_where_mor
+
+    per = _STAGED_CACHE.get(spark)
+    if per is None:
+        per = _STAGED_CACHE[spark] = {}
+    key = ("metacnt", sf)
+    hit = per.get(key)
+    if hit is not None:
+        t, ver = hit
+        if t.version == ver:
+            return t
+    t, _versions = _staged_events_table(spark, sf, "metacnt")
+    delete_where_mor(t, "user_id % 10 = 3")
+    compact(t, min_files_per_bucket=1)  # resolve; tombstones persist
+    per[key] = (t, t.version)
+    return t
+
+
+@_reg(
+    "metadata_live_count",
+    """
+    WITH s AS (
+      SELECT user_id, event_type FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY event_id DESC) = 1
+    )
+    SELECT CAST(SUM(CASE WHEN user_id % 10 <> 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN user_id % 10 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deleted
+    FROM s
+    """,
+    note="tombstone-aware count(*) pushdown to manifests: after a MOR "
+         "DELETE and a major compaction that keeps the delete markers "
+         "(no tombstone watermark — they must keep guarding against "
+         "redelivery), live and deleted counts are answered from the "
+         "MANIFEST ALONE — n_live = sum(rows - tombstones), n_deleted "
+         "= sum(tombstones); ZERO data-file I/O, O(files) driver time, "
+         "and the query RAISES if the metadata path isn't available "
+         "(unresolved snapshot / unknown tombstone count) rather than "
+         "silently scanning — the 10^10-row freshness-counter shape "
+         "(sources/lake.py DataFile.tombstones, count_rows)",
+)
+def metadata_live_count(spark: SparkSession, sf: str) -> DataFrame:
+    """MOR delete of user_id%10=3 → tombstone-preserving major compact
+    → live/deleted counts from manifest sums only."""
+    t = _tombstoned_events_table_shared(spark, sf)
+    assert not t.current().get("requires_resolve", False)
+    fs = t.files()
+    assert all(f.tombstones is not None for f in fs), "metadata path lost"
+    n_live = sum(f.rows - f.tombstones for f in fs)
+    n_deleted = sum(f.tombstones for f in fs)
+    return spark.createDataFrame([(n_live, n_deleted)], "n_live long, n_deleted long")
+
+
 @_reg(
     "partition_evolution_scan",
     """
