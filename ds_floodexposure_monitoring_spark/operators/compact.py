@@ -20,6 +20,7 @@ ties are payload-identical and resolution is deterministic.
 
 from __future__ import annotations
 
+import datetime
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation
@@ -27,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..sources.lake import LSN_COL, TOMBSTONE_COL, LakeTable
 from .evolve import align_to_schema, evolve_schema
-from .merge import _check_write_consistency
+from .merge import _check_write_consistency, _lost_duplicate_race
 from .skew import plan_bucket_splits, with_salted_split, write_exchange_partitions
 
 
@@ -42,6 +43,9 @@ class AppendStats:
     schema_added: list[str]
     schema_widened: list[tuple[str, str, str]]
     bucket_rows: dict[int, int] | None = None  # written rows per bucket
+    # True when a concurrent duplicate delivery of the same batch_id won
+    # the commit race (stats zeroed; snapshot_version is the winner's)
+    duplicate_batch: bool = False
 
     def to_json(self) -> dict:
         from dataclasses import asdict
@@ -169,6 +173,11 @@ def merge_append(
         validation="append",
         expected_parent_version=cur["version"],
     )
+    if _lost_duplicate_race(snap, new_files):
+        return AppendStats(
+            int(m["batch_rows"]), 0, 0, 0, 0, snap["version"], [], [],
+            None, duplicate_batch=True,
+        )
     rows_written = sum(f.rows for f in new_files)
     return AppendStats(
         batch_rows=int(m["batch_rows"]),
@@ -358,6 +367,17 @@ def _zvalue_column(
             return F.unix_date(F.col(c)).cast("double")
         return F.col(c).cast("double")
 
+    def _bound_num(c: str, v) -> float:
+        # dates rank via unix_date() (epoch DAYS), so their bounds must be
+        # epoch days too — _stat_scalar leaves datetime.date untouched and
+        # manifests round-trip them as ISO strings, neither float()-able
+        if isinstance(schema[c], T.DateType):
+            if isinstance(v, str):
+                v = datetime.date.fromisoformat(v)
+            if isinstance(v, datetime.date):
+                return float((v - datetime.date(1970, 1, 1)).days)
+        return float(_stat_scalar(v))
+
     files = table.files(cur)
     bounds: dict[str, tuple[float, float]] = {}
     need_agg = []
@@ -366,8 +386,8 @@ def _zvalue_column(
         if any(s is None or s[0] is None or s[1] is None for s in stats):
             need_agg.append(c)
             continue
-        bounds[c] = (float(min(s[0] for s in stats)),
-                     float(max(s[1] for s in stats)))
+        bounds[c] = (min(_bound_num(c, s[0]) for s in stats),
+                     max(_bound_num(c, s[1]) for s in stats))
     if need_agg:
         row = df.agg(
             *[a for c in need_agg for a in (F.min(c), F.max(c))]
@@ -377,7 +397,7 @@ def _zvalue_column(
             if lo is None:  # all-null column: constant rank
                 bounds[c] = (0.0, 0.0)
             else:
-                bounds[c] = (float(_stat_scalar(lo)), float(_stat_scalar(hi)))
+                bounds[c] = (_bound_num(c, lo), _bound_num(c, hi))
 
     k = len(by)
     bits = max(1, min(20, 60 // k))

@@ -60,9 +60,25 @@ class MergeStats:
     snapshot_version: int
     schema_added: list[str]
     schema_widened: list[tuple[str, str, str]]
+    # True when a concurrent duplicate delivery of the same batch_id won
+    # the commit race: the returned snapshot_version is the WINNER's and
+    # the write stats are zeroed (our data files are orphaned garbage)
+    duplicate_batch: bool = False
 
     def to_json(self) -> dict:
         return asdict(self)
+
+
+def _lost_duplicate_race(snap: dict, new_files) -> bool:
+    """True when ``commit_retrying`` returned a concurrent duplicate
+    delivery's snapshot instead of committing OUR files (the exactly-once
+    batch_id race): none of our added paths appear in the returned
+    snapshot, so write stats computed from them would describe data that
+    is not in the table."""
+    if not new_files:
+        return False
+    added = {f.path for f in new_files}
+    return not (added & {d["path"] for d in snap["files"]})
 
 
 def _check_write_consistency(observed_rows: int, new_files) -> None:
@@ -259,6 +275,14 @@ def merge_into(
             validation="rewrite",
             expected_parent_version=cur["version"],
         )
+        if _lost_duplicate_race(snap, new_files):
+            return MergeStats(
+                batch_rows=batch_rows, distinct_keys=0, dedup_dropped=0,
+                updated=0, inserted=0, deleted=0, carried_rows=0,
+                removed_files=0, added_files=0, rows_written=0,
+                snapshot_version=snap["version"], schema_added=[],
+                schema_widened=[], duplicate_batch=True,
+            )
         return MergeStats(
             batch_rows=batch_rows,
             distinct_keys=int(agg["batch_keys"]),

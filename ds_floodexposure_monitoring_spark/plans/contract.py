@@ -703,8 +703,16 @@ def partition_stats_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
     users = (
         t.scan()
-        .select(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("part_day"),
-                "user_id")
+        # same UTC epoch-day basis as the manifest's days(ts) transform
+        # (_partition_transform_expr) — to_date(ts) would use the SESSION
+        # timezone and desync the join under any non-UTC session
+        .select(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            ).cast("int").alias("part_day"),
+            "user_id",
+        )
         .groupBy("part_day")
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )

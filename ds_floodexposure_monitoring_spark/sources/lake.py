@@ -197,12 +197,15 @@ _EPOCH = datetime.datetime(1970, 1, 1)
 def _stat_scalar(v):
     """Normalize a parquet footer stat to a JSON-storable, totally
     ordered scalar: datetimes → epoch microseconds (exact integer
-    arithmetic, naive treated as UTC), bytes → utf-8 str; numbers and
-    strings pass through."""
+    arithmetic, naive treated as UTC), dates → epoch days (the
+    ``unix_date()`` basis), bytes → utf-8 str; numbers and strings pass
+    through."""
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return (v - _EPOCH) // datetime.timedelta(microseconds=1)
+    if isinstance(v, datetime.date):  # after datetime (its subclass)
+        return (v - _EPOCH.date()).days
     if isinstance(v, bytes):
         return v.decode("utf-8")
     return v
@@ -775,6 +778,8 @@ def _make_task_writer(
                 if v.tzinfo is not None:
                     v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
                 return (v - _epoch) // _dt.timedelta(microseconds=1)
+            if isinstance(v, _dt.date):  # after datetime (its subclass)
+                return (v - _epoch.date()).days
             if isinstance(v, bytes):
                 return v.decode("utf-8")
             return v
@@ -2182,6 +2187,20 @@ class LakeTable:
                     "concurrent schema change: head schema epoch moved from "
                     f"{planned['schema_version']} to {head['schema_version']} "
                     "while this commit was planned; re-plan against fresh state"
+                )
+            if head["n_buckets"] != planned["n_buckets"] or head.get(
+                "bucket_seed", 0
+            ) != planned.get("bucket_seed", 0):
+                # A concurrent rebucket() changed the hash modulus/seed: the
+                # added files' stamped bucket values were computed under the
+                # OLD layout, so retrying (even an append) would commit keys
+                # invisible to bucket-pruned lookups and mis-grouped during
+                # MOR resolve. Fail safe like the pre-retry behavior.
+                raise CommitConflictError(
+                    "concurrent rebucket: bucket layout moved from "
+                    f"{planned['n_buckets']}/{planned.get('bucket_seed', 0)} to "
+                    f"{head['n_buckets']}/{head.get('bucket_seed', 0)} while this "
+                    "commit was planned; re-plan against fresh state"
                 )
             if validation == "rewrite":
                 head_files = {d["path"]: d for d in head["files"]}

@@ -154,6 +154,42 @@ def test_zorder_guards(spark, tmpdir_path):
         cluster_rewrite(t, ("ts",), order="hilbert")
 
 
+def test_zorder_date_column(spark, tmpdir_path):
+    """DateType z-order columns rank via unix_date (epoch days); their
+    bounds — manifest ISO strings or datetime.date from the agg
+    fallback — must convert to the same basis instead of crashing."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("day", T.DateType(), True),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "zd"), schema,
+        n_buckets=2, stat_cols=("day", "turn_idx"),
+    )
+    ddl = "lsn long, conv_id string, turn_idx int, text string, day date"
+    rows = [
+        (i, f"c{i % 100:03d}", (i * 13) % 500, f"t-{i}",
+         dt.date(2024, 1, 1) + dt.timedelta(days=(i * 7) % 365))
+        for i in range(1200)
+    ]
+    merge_append(t, spark.createDataFrame(rows, ddl), batch_id="b0")
+    want = sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
+
+    st = cluster_rewrite(t, ("day", "turn_idx"), target_rows_per_file=80,
+                         order="zorder")
+    assert st is not None and st.rows_before == st.rows_after
+    got = sorted((r.conv_id, r.turn_idx, r.text) for r in t.scan().collect())
+    assert got == want and got
+    # pruning on the date dimension actually works post-cluster
+    n = len(t.files())
+    kept = len(t.prune_for_range("day", dt.date(2024, 3, 1), dt.date(2024, 4, 1)))
+    assert kept < n
+
+
 def test_cluster_rewrite_guards_and_tombstones(spark, tmpdir_path):
     t = LakeTable.create(
         spark, os.path.join(tmpdir_path, "cg"), transcript_schema(),

@@ -138,6 +138,34 @@ def test_same_batch_id_race_is_exactly_once(spark, tmpdir_path, monkeypatch):
     assert len(snaps) == 1
     assert st.snapshot_version == snaps[0]["version"]
     assert t.scan().where(F.col("text").startswith("dup-")).count() == 40
+    # the loser's write stats are zeroed and flagged — they would
+    # otherwise describe orphaned files absent from the winner snapshot
+    assert st.duplicate_batch is True
+    assert st.rows_written == 0 and st.added_files == 0
+
+
+def test_rebucket_race_raises(spark, tmpdir_path, monkeypatch):
+    """A merge racing a concurrent rebucket() must NOT retry: its data
+    files carry bucket values hashed under the OLD modulus — committing
+    them under the new layout silently corrupts bucket-pruned lookups."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "rb"), transcript_schema(), n_buckets=2
+    )
+    merge_append(t, _batch(spark, 0, 100, "base"), batch_id="b0")
+
+    def intruder():
+        other = LakeTable.load(spark, t.path)
+        other.rebucket(4)
+
+    _inject_before_first_commit(monkeypatch, "merge-append", intruder)
+    with pytest.raises(CommitConflictError, match="rebucket"):
+        merge_append(t, _batch(spark, 2000, 60, "mine"), batch_id="b1")
+    # re-planning against fresh state (new layout) succeeds cleanly
+    st = merge_append(t, _batch(spark, 2000, 60, "mine"), batch_id="b1")
+    assert st.snapshot_version == t.version
+    got = {r.text for r in t.scan().select("text").collect()}
+    assert sum(x.startswith("mine-") for x in got) == 60
+    assert t.n_buckets == 4
 
 
 def test_schema_race_raises(spark, tmpdir_path, monkeypatch):
