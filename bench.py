@@ -85,6 +85,62 @@ TRIALS = 3  # best-of-K alternating trials (noisy-host methodology;
             # raised from 2 in r3 — same-day epoch variance reached 2.2x,
             # so one extra pass materially tightens the best-of estimate)
 
+# Epoch-proofing (round 5): a degraded host epoch mid-bench must never
+# masquerade as an engine regression in the recorded artifact
+# (BENCH_r04's 121.9s middle replay trial). Every replay trial carries
+# its own /proc/stat steal fraction (hypervisor contention DURING the
+# window) and a pre-trial engine-free CPU probe (catches frequency /
+# bandwidth degradation that steal misses — observed on this host at
+# <1% steal). A trial is CLEAN iff steal <= CLEAN_STEAL_PCT and its
+# probe reads >= CLEAN_PROBE_FRAC of the best probe seen this run; the
+# replay keeps adding trials (up to MAX_CDC_TRIALS) until at least one
+# clean trial exists, and the headline best-of is taken over clean
+# trials when any exist. All trials, probes, and steal readings are
+# embedded in the emitted JSON so the record is self-attributing.
+CLEAN_STEAL_PCT = 1.5
+CLEAN_PROBE_FRAC = 0.85
+MAX_CDC_TRIALS = 6
+PROBE_SECONDS = 3.0
+
+
+def _cpu_sample(ncores: int) -> dict[int, tuple[int, int]]:
+    """Per-core (steal_jiffies, total_jiffies) for the pinned cores —
+    an independent hardware counter of hypervisor contention during a
+    timed window (field 8 of /proc/stat is steal)."""
+    out: dict[int, tuple[int, int]] = {}
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                p = line.split()
+                if p[0].startswith("cpu") and p[0] != "cpu":
+                    idx = int(p[0][3:])
+                    if idx < ncores:
+                        vals = list(map(int, p[1:]))
+                        out[idx] = (vals[7], sum(vals))
+    except OSError:
+        pass
+    return out
+
+
+def _steal_pct(s0: dict, s1: dict) -> float:
+    steal = sum(s1[i][0] - s0[i][0] for i in s0 if i in s1)
+    total = sum(s1[i][1] - s0[i][1] for i in s0 if i in s1)
+    return 100.0 * steal / total if total else 0.0
+
+
+def _probe_rate_per_core(cpus: int, seconds: float = PROBE_SECONDS) -> float:
+    """Engine-free per-core integer-hash rate (bench/host_probe.py's cpu
+    worker) on the pinned cores — the epoch fingerprint. Returns 0.0 if
+    the probe can't run (never blocks the bench)."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
+        from host_probe import _cpu_worker, run_width
+
+        return run_width(_cpu_worker, cpus, seconds) / cpus
+    except Exception as e:  # probe is advisory
+        print(f"[bench] host probe unavailable: {e}", file=sys.stderr)
+        return 0.0
+
 
 def _pin_cpus(cpus: int) -> bool:
     """Pin this process (and the JVM it will fork) to exactly ``cpus``
@@ -154,13 +210,19 @@ def run_cdc_ingest(spark, sf_label: float, cpus: int) -> dict:
         # best-of-TRIALS timed replays with production-regime
         # (half-input) batches
         make_pipe("-warm", max(n_events // 2, 100_000)).run_until_caught_up(max_batches=2)
-        trials = []
-        for t in range(TRIALS):
+        trials: list[dict] = []
+        probe_ref = 0.0  # best engine-free rate seen = this run's epoch ceiling
+        t = 0
+        while True:
             pipe = make_pipe(f"-t{t}", max(n_events // 2, 100_000))
             table = pipe.table
+            probe = _probe_rate_per_core(cpus)
+            probe_ref = max(probe_ref, probe)
+            s0 = _cpu_sample(cpus)
             t0 = time.monotonic()
             results = pipe.run_until_caught_up()
             wall = time.monotonic() - t0
+            s1 = _cpu_sample(cpus)
             total_events = sum(r.batch.n_events for r in results)
             trials.append({
                 "sec": wall,
@@ -168,11 +230,30 @@ def run_cdc_ingest(spark, sf_label: float, cpus: int) -> dict:
                 "events_per_sec": total_events / wall,
                 "batches": len(results),
                 "final_rows": table.total_rows(),
+                "steal_pct": round(_steal_pct(s0, s1), 2),
+                "probe_m_per_core": round(probe / 1e6, 2),
             })
             print(f"[bench] cdc replay trial {t}: {wall:.1f}s "
-                  f"({trials[-1]['events_per_sec']:,.0f} ev/s)", file=sys.stderr)
-        best = min(trials, key=lambda r: r["sec"])
+                  f"({trials[-1]['events_per_sec']:,.0f} ev/s, "
+                  f"steal {trials[-1]['steal_pct']}%, "
+                  f"probe {trials[-1]['probe_m_per_core']}M/s/core)",
+                  file=sys.stderr)
+            t += 1
+            clean = [
+                r for r in trials
+                if r["steal_pct"] <= CLEAN_STEAL_PCT
+                and (probe_ref == 0.0
+                     or r["probe_m_per_core"] * 1e6 >= CLEAN_PROBE_FRAC * probe_ref)
+            ]
+            if t >= TRIALS and (clean or t >= MAX_CDC_TRIALS):
+                break
+        best = min(clean or trials, key=lambda r: r["sec"])
+        best = dict(best)
         best["trial_secs"] = [round(r["sec"], 3) for r in trials]
+        best["trial_steal_pct"] = [r["steal_pct"] for r in trials]
+        best["trial_probe_m"] = [r["probe_m_per_core"] for r in trials]
+        best["clean_trials"] = len(clean)
+        best["best_is_clean"] = bool(clean)
         return best
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
@@ -193,6 +274,13 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # launch-epoch fingerprint BEFORE the JVM exists: engine-free per-core
+    # rate on the pinned cores. Recorded in the artifact so a degraded
+    # launch epoch is visible in the record itself.
+    launch_probe = _probe_rate_per_core(cpus)
+    print(f"[bench] launch probe: {launch_probe / 1e6:.2f}M/s/core",
+          file=sys.stderr)
+
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     qs = entrymod.queries()
 
@@ -202,7 +290,9 @@ def main() -> None:
     qs["zonal_rollup"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    pass_steal: list[float] = []
     for trial in range(TRIALS):
+        s0 = _cpu_sample(cpus)
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.monotonic()
@@ -211,6 +301,7 @@ def main() -> None:
             if name not in timings or sec < timings[name]:
                 timings[name] = sec
             print(f"[bench] t{trial} {name}: {sec}s", file=sys.stderr)
+        pass_steal.append(round(_steal_pct(s0, _cpu_sample(cpus)), 2))
 
     cdc = run_cdc_ingest(spark, sf_label, cpus)
     timings["cdc_ingest_replay"] = round(cdc["sec"], 3)
@@ -225,6 +316,18 @@ def main() -> None:
         "cdc_events": cdc["events"],
         "cdc_batches": cdc["batches"],
         "cdc_trial_secs": cdc["trial_secs"],
+        "cdc_trial_steal_pct": cdc["trial_steal_pct"],
+        "cdc_trial_probe_m_per_core": cdc["trial_probe_m"],
+        "cdc_clean_trials": cdc["clean_trials"],
+        "cdc_best_is_clean": cdc["best_is_clean"],
+        "headline_pass_steal_pct": pass_steal,
+        "launch_probe_m_per_core": round(launch_probe / 1e6, 2),
+        "clean_rule": (
+            f"trial clean iff steal<={CLEAN_STEAL_PCT}% and probe>="
+            f"{CLEAN_PROBE_FRAC}x best probe this run; replay retries to "
+            f"{MAX_CDC_TRIALS} trials until one is clean; best-of over "
+            "clean trials when any exist"
+        ),
         "cpus": cpus,
         "pinned": pinned,
         "trials": TRIALS,
