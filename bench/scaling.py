@@ -258,6 +258,7 @@ def main_paired() -> None:
     # wide halves at 40-65% of demonstrated capability at <1% steal.
     # Probe BOTH axes and warn loudly (don't abort: a deliberately
     # degraded-epoch invocation is still valid disclosure material).
+    cpu_eff = mem_eff = None
     try:
         from host_probe import probe_pair  # same directory
 
@@ -274,6 +275,11 @@ def main_paired() -> None:
         )
     except Exception as e:  # probe is advisory, never blocks the run
         print(f"[gate] host probe unavailable: {e}", flush=True)
+    launch_clean = (
+        cpu_eff is not None
+        and cpu_eff >= EST_MIN_PROBE_CPU
+        and mem_eff >= EST_MIN_PROBE_MEM
+    )
     root = tempfile.mkdtemp(prefix="scaling-paired-")
     generate_input(n_events, root)
 
@@ -283,8 +289,44 @@ def main_paired() -> None:
     ww.wait_ready()
     wn.wait_ready()
 
+    def _pair_probe() -> float:
+        """Pre-pair mem-stream rate (units/s/core) at the wide width: the
+        epoch fingerprint for the ~40 s window the pair is about to
+        occupy. Engine-free, ~2 s. 0.0 if unavailable (never blocks)."""
+        try:
+            from host_probe import _mem_worker, run_width
+
+            return run_width(_mem_worker, WIDE_CORES, PAIR_PROBE_SEC) / WIDE_CORES
+        except Exception:
+            return 0.0
+
+    best_pair_probe = [0.0]
+
+    def _qualifies(r: dict) -> bool:
+        probe_ok = (
+            best_pair_probe[0] == 0.0
+            or r["mem_probe"] >= EST_PAIR_MEM_FRAC * best_pair_probe[0]
+        )
+        return (
+            100 * r["n"]["steal_frac"] <= EST_MAX_STEAL_PCT
+            and 100 * r["wide"]["steal_frac"] <= EST_MAX_STEAL_PCT
+            and probe_ok
+        )
+
     results = []
-    for i in range(pairs):
+    max_pairs = max(pairs, 2 * EST_MIN_PAIRS)
+    i = 0
+    # Run the requested pairs; on a clean launch, keep adding pairs (up
+    # to max_pairs) until the pre-registered estimator has its minimum
+    # qualifying sample — the run is self-sufficient, no post-hoc
+    # attribution needed.
+    while i < pairs or (
+        launch_clean
+        and sum(1 for r in results if _qualifies(r)) < EST_MIN_PAIRS
+        and i < max_pairs
+    ):
+        mem_probe = _pair_probe()
+        best_pair_probe[0] = max(best_pair_probe[0], mem_probe)
         order = (wn, ww) if i % 2 == 0 else (ww, wn)
         halves = {}
         t_start = time.monotonic()
@@ -295,15 +337,17 @@ def main_paired() -> None:
         eff = rw["events_per_sec"] / (4 * rn["events_per_sec"])
         results.append({
             "pair": i, "order": f"{order[0].cpus}-first", "eff": eff,
-            "pair_span_sec": span,
+            "pair_span_sec": span, "mem_probe": mem_probe,
             "n": rn, "wide": rw,
         })
         print(
-            f"pair {i} ({order[0].cpus}-first, {span:.0f}s span): "
+            f"pair {i} ({order[0].cpus}-first, {span:.0f}s span, "
+            f"mem-probe {mem_probe:.1f}/s/core): "
             f"N {rn['events_per_sec']:,.0f} ev/s (steal {100 * rn['steal_frac']:.1f}%) | "
             f"4N {rw['events_per_sec']:,.0f} ev/s (steal {100 * rw['steal_frac']:.1f}%) "
             f"-> eff {eff:.3f}"
         )
+        i += 1
     wn.quit()
     ww.quit()
 
@@ -313,11 +357,52 @@ def main_paired() -> None:
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
     )
     n_ok = sum(1 for e in effs if e >= 0.8)
+
+    # ---- PRE-REGISTERED ESTIMATOR (round-5; computed in code, no
+    # narrative attribution): the headline scaling efficiency is the
+    # MEDIAN of qualifying pairs — both halves' steal <= EST_MAX_STEAL_PCT
+    # — from an invocation whose launch probes read cpu >= EST_MIN_PROBE_CPU
+    # and mem >= EST_MIN_PROBE_MEM, with at least EST_MIN_PAIRS qualifying
+    # pairs. Otherwise the estimator reports null with the reason.
+    q_effs = sorted(r["eff"] for r in results if _qualifies(r))
+    if not launch_clean:
+        est_status = (
+            f"not qualifying: launch probes cpu={cpu_eff} mem={mem_eff} "
+            f"below gate (cpu>={EST_MIN_PROBE_CPU}, mem>={EST_MIN_PROBE_MEM})"
+        )
+        est = None
+    elif len(q_effs) < EST_MIN_PAIRS:
+        est_status = (
+            f"not qualifying: only {len(q_effs)} pairs with both halves "
+            f"steal<={EST_MAX_STEAL_PCT}% and pre-pair mem probe >= "
+            f"{EST_PAIR_MEM_FRAC}x run best (need {EST_MIN_PAIRS})"
+        )
+        est = None
+    else:
+        est = q_effs[len(q_effs) // 2] if len(q_effs) % 2 else (
+            (q_effs[len(q_effs) // 2 - 1] + q_effs[len(q_effs) // 2]) / 2
+        )
+        est_status = f"qualifying ({len(q_effs)} clean pairs)"
+
     summary = {
         "protocol": "interleaved-pairs/warm-JVM",
         "n_events": n_events,
         "batch_events": batch_events,
         "pairs": len(results),
+        "launch_probe_cpu_eff": round(cpu_eff, 3) if cpu_eff is not None else None,
+        "launch_probe_mem_eff": round(mem_eff, 3) if mem_eff is not None else None,
+        "preregistered_estimator": {
+            "rule": (
+                f"median of pairs with both halves steal<={EST_MAX_STEAL_PCT}% "
+                f"and pre-pair mem probe >= {EST_PAIR_MEM_FRAC}x run best, "
+                f"launch probes cpu>={EST_MIN_PROBE_CPU} and mem>={EST_MIN_PROBE_MEM}, "
+                f"minimum {EST_MIN_PAIRS} qualifying pairs"
+            ),
+            "status": est_status,
+            "efficiency": round(est, 3) if est is not None else None,
+            "qualifying_pairs": len(q_effs),
+            "qualifying_effs": [round(e, 3) for e in q_effs],
+        },
         "efficiency_headline_best_pair": round(best["eff"], 3),
         "efficiency_pair_median": round(med, 3),
         "pair_efficiencies": [round(e, 3) for e in effs],
@@ -333,6 +418,8 @@ def main_paired() -> None:
             {
                 "pair": r["pair"], "order": r["order"],
                 "eff": round(r["eff"], 3),
+                "qualifies": _qualifies(r),
+                "mem_probe_per_core": round(r.get("mem_probe", 0.0), 2),
                 "span_sec": round(r["pair_span_sec"], 1),
                 "n_ev_s": round(r["n"]["events_per_sec"]),
                 "wide_ev_s": round(r["wide"]["events_per_sec"]),
@@ -418,6 +505,20 @@ def run_level(root: str, cpus: int, n_events: int, trial: int = 0) -> dict:
 
 N_CORES = 2
 WIDE_CORES = 8  # 4N
+
+# Pre-registered estimator parameters (see main_paired): fixed BEFORE
+# the round-5 evidentiary invocation, per the round-4 verdict's
+# prescription. The per-pair mem probe is part of the rule because
+# round 4 measured wide-side collapses (550K->190K ev/s) at <1% steal —
+# steal alone provably misses mem-bandwidth epochs on this host
+# (BENCH/HISTORY.md), so a qualifying pair must ALSO sit in a
+# mem-clean window.
+EST_MAX_STEAL_PCT = 1.0    # per half, during its timed window
+EST_MIN_PROBE_CPU = 0.9    # launch-gate host_probe cpu efficiency
+EST_MIN_PROBE_MEM = 0.85   # launch-gate host_probe mem-stream efficiency
+EST_PAIR_MEM_FRAC = 0.85   # pre-pair mem rate >= this x best pre-pair rate
+EST_MIN_PAIRS = 8          # minimum qualifying pairs for a valid estimate
+PAIR_PROBE_SEC = 2.0       # pre-pair mem-stream probe window
 
 HEALTH_WINDOW_SEC = 4.0  # host-health probe before each trial (diagnostic)
 

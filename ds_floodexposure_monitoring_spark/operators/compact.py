@@ -77,6 +77,15 @@ def merge_append(
     batch become the next batch's hint."""
     cur = table.current()
     keys = table.merge_keys
+    pu = cur.get("merge_engine", "lww") == "partial-update"
+    if pu and op_col is not None:
+        # Paimon parity: merge-engine=partial-update rejects delete
+        # records (a patch stream has no whole-row delete semantics);
+        # retractions need the default LWW engine or a COW DELETE
+        raise ValueError(
+            "partial-update tables do not accept a CDC op/delete column; "
+            "ingest patch events without op_col"
+        )
 
     envelope = [c for c in ([op_col] if op_col else []) if c in batch_df.columns]
     evo = evolve_schema(table.schema(), batch_df.drop(lsn_col, *envelope).schema)
@@ -115,13 +124,8 @@ def merge_append(
     # (BENCH/BASELINE.md). Bonus: the max_by SortAggregate's required
     # sort on (b, _split, keys) leaves every data file key-sorted, so
     # footer min/max stats are tight for point/range pruning.
-    payload = [c for c in write_schema.fieldNames() if c not in keys] + [
-        LSN_COL,
-        TOMBSTONE_COL,
-    ]
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload]), F.struct(F.col(LSN_COL))
-    ).alias("_w")
+    user_payload = [c for c in write_schema.fieldNames() if c not in keys]
+    payload = user_payload + [LSN_COL, TOMBSTONE_COL]
     obs = Observation()
     pre = with_salted_split(
         batch.withColumn("b", table.bucket_expr()), "b", splits, salt_cols=keys
@@ -135,16 +139,50 @@ def merge_append(
     # avoids both the narrow-width sort-agg spill and the wide-width
     # collision tail (operators/skew.write_exchange_partitions)
     pre = pre.repartition(write_exchange_partitions(pre, splits), *part_cols)
-    to_write = (
-        pre.groupBy(*part_cols, *keys)
-        .agg(winner, F.count(F.lit(1)).alias("_n"))
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("distinct_keys"),
-            F.sum("_n").alias("batch_rows"),
+    if pu:
+        # partial-update fold (operators/dedup.partial_update_state
+        # semantics, fused into the same one-shuffle write stage): each
+        # field keeps its last NON-NULL value by LSN, and its per-field
+        # LSN rides to the data file so later deltas/compaction fold
+        # field-granularly (Paimon sequence-field analog). Still ONE
+        # hash agg with map-side partials — no window, no sort.
+        from ..sources.lake import flsn_col
+
+        aggs = []
+        for c in user_payload:
+            set_lsn = F.when(F.col(c).isNotNull(), F.col(LSN_COL))
+            aggs.append(F.max_by(F.col(c), set_lsn).alias(c))
+            aggs.append(F.max(set_lsn).alias(flsn_col(c)))
+        aggs.append(F.max(F.col(LSN_COL)).alias(LSN_COL))
+        aggs.append(F.count(F.lit(1)).alias("_n"))
+        to_write = (
+            pre.groupBy(*part_cols, *keys)
+            .agg(*aggs)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("distinct_keys"),
+                F.sum("_n").alias("batch_rows"),
+            )
+            .withColumn(TOMBSTONE_COL, F.lit(False))
+            .select(
+                "b", *keys, *user_payload, LSN_COL, TOMBSTONE_COL,
+                *[flsn_col(c) for c in user_payload],
+            )
         )
-        .select("b", *keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
-    )
+    else:
+        winner = F.max_by(
+            F.struct(*[F.col(c) for c in payload]), F.struct(F.col(LSN_COL))
+        ).alias("_w")
+        to_write = (
+            pre.groupBy(*part_cols, *keys)
+            .agg(winner, F.count(F.lit(1)).alias("_n"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("distinct_keys"),
+                F.sum("_n").alias("batch_rows"),
+            )
+            .select("b", *keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        )
     new_files = table.write_data_files(
         to_write, write_schema, schema_version, pre_partitioned=True
     )

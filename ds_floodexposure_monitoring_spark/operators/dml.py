@@ -57,6 +57,20 @@ class DmlStats:
     snapshot_version: int
 
 
+def _reject_partial_update(table: LakeTable, op: str) -> None:
+    """DML on partial-update tables is not supported yet: corrections
+    would need PER-FIELD dml_seq ordering (the row-level ``_dml_seq``
+    that makes LWW DML redelivery-proof has no per-field analog here
+    yet), and MOR tombstones have no defined fold against per-field
+    LSNs. Fail loudly rather than corrupt the fold."""
+    if table.current().get("merge_engine", "lww") != "lww":
+        raise NotImplementedError(
+            f"{op} is not supported on merge_engine='partial-update' "
+            "tables; use the default LWW engine for retraction/DML "
+            "workloads"
+        )
+
+
 def _alive() -> Column:
     return ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
 
@@ -148,6 +162,7 @@ def delete_where(
 
     Returns None (no commit) when nothing matches. Tombstone rows are
     preserved verbatim so CDC ordering guards survive the rewrite."""
+    _reject_partial_update(table, "delete_where")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     buckets, matched = _plan(table, cond, files=_pruned_files(table, condition))
     if not buckets:
@@ -191,6 +206,7 @@ def delete_matching(
     are erased too (both paths): GDPR erasure removes every trace of
     the key, accepting that a still-in-flight older event for it would
     re-insert (standard CDC semantics, same as the live-row case)."""
+    _reject_partial_update(table, "delete_matching")
     # key_col names the column IN keys_df; joins always run under the
     # table's first merge-key name
     key0 = table.merge_keys[0]
@@ -320,6 +336,7 @@ def update_where(
     rows get a bumped ``_dml_seq`` (Iceberg sequence-number analog), so
     an exact REDELIVERY of the pre-update event — same LSN, seq 0 —
     deterministically LOSES to the correction in every later merge."""
+    _reject_partial_update(table, "update_where")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     bad = set(assignments) & set(table.merge_keys)
     if bad:
@@ -400,6 +417,7 @@ def delete_where_mor(
     drop the tombstones themselves). Use when the predicate matches few
     rows spread over many buckets; COW ``delete_where`` rewrites every
     touched bucket, this writes only the matches."""
+    _reject_partial_update(table, "delete_where_mor")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     pruned = _pruned_files(table, condition)
     per_bucket, matched = _plan(table, cond, files=pruned)
@@ -428,6 +446,7 @@ def update_where_mor(
     row (original LSN, bumped ``_dml_seq``) instead of rewriting the
     buckets. Same ordering semantics as ``update_where``; write cost is
     O(matched rows). Fold with ``operators.compact.compact``."""
+    _reject_partial_update(table, "update_where_mor")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     bad = set(assignments) & set(table.merge_keys)
     if bad:

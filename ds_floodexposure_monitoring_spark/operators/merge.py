@@ -119,6 +119,13 @@ def merge_into(
     spark = table.spark
     cur = table.current()
     keys = table.merge_keys
+    if cur.get("merge_engine", "lww") != "lww":
+        raise NotImplementedError(
+            "merge_into (copy-on-write) supports only the LWW engine; "
+            "partial-update tables ingest through the merge-on-read path "
+            "(operators.compact.merge_append / CDCPipeline mode='mor'), "
+            "where per-field LSNs fold at scan/compaction"
+        )
 
     # ---- strip the CDC envelope; schema evolution on payload only
     envelope = [c for c in ([op_col] if op_col else []) if c in batch_df.columns]

@@ -168,6 +168,85 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
     return t.scan().select("user_id", "event_type", "value", "ts")
 
 
+@_reg(
+    "lake_partial_update_merge",
+    """
+    WITH p AS (
+      SELECT user_id, event_type, event_id,
+             CASE WHEN event_id % 3 <> 0 THEN value END AS value,
+             CASE WHEN event_id % 5 <> 0 THEN props END AS props,
+             CASE WHEN event_id % 7 <> 0 THEN ts END AS ts
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_type, event_id,
+             last_value(value IGNORE NULLS) OVER win AS value,
+             last_value(props IGNORE NULLS) OVER win AS props,
+             last_value(ts IGNORE NULLS) OVER win AS ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM p
+      WINDOW win AS (PARTITION BY user_id, event_type ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_type, value, props, ts
+    FROM w WHERE rn = 1
+    """,
+    note="partial-update merge engine ON THE LAKE PATH (the persistence "
+         "twin of partial_update_state — Paimon merge-engine="
+         "partial-update with sequence-field): the SAME deterministic "
+         "patch stream is ingested as 3 LSN-split merge_append batches "
+         "into a merge_engine='partial-update' LakeTable with a MAJOR "
+         "COMPACTION between batches 2 and 3, then scanned back. Every "
+         "data file carries per-field LSN columns (_flsn_<col>), the "
+         "per-batch fold is fused into the one-shuffle write stage, the "
+         "MOR scan folds field-granularly, and compaction folds "
+         "physically — so patches MERGE per-field ACROSS commits and "
+         "across the compaction boundary. Oracle is identical to "
+         "partial_update_state: persistence must not change the fold "
+         "(sources/lake.py scan PU resolve; operators/compact.py "
+         "merge_append PU branch).",
+)
+def lake_partial_update_merge(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.compact import compact, merge_append
+    from ..sources.lake import LakeTable
+
+    ev = table(spark, sf, "events")
+    patch = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 5 != 0, F.col("props")).alias("props"),
+        F.when(F.col("event_id") % 7 != 0, F.col("ts")).alias("ts"),
+    )
+    schema = T.StructType([f for f in patch.schema.fields if f.name != "event_id"])
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-pumerge-{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(
+        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
+        n_buckets=8, merge_engine="partial-update",
+    )
+    hi = patch.agg(F.max("event_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    lo = -1
+    for i, c in enumerate(cuts):
+        batch = patch.where((F.col("event_id") > lo) & (F.col("event_id") <= c))
+        merge_append(t, batch, lsn_col="event_id", target_rows_per_file=500_000)
+        if i == 1:  # fold per-field state physically mid-stream
+            compact(t, min_files_per_bucket=1)
+        lo = c
+    return t.scan().select("user_id", "event_type", "value", "props", "ts")
+
+
 def _staged_events_table(
     spark: SparkSession, sf: str, tag: str, stat_cols: tuple = (),
     partition_by: str | None = None, key_bloom_bits: int = 0,

@@ -66,6 +66,17 @@ DML_SEQ_COL = "_dml_seq"  # Iceberg sequence-number analog for out-of-band
 # null in files written by the ingest paths; read as 0.
 INTERNAL_COLS = (LSN_COL, TOMBSTONE_COL, DML_SEQ_COL)
 
+FLSN_PREFIX = "_flsn_"
+
+
+def flsn_col(c: str) -> str:
+    """Per-field LSN column name for partial-update tables (the Paimon
+    sequence-field analog): the LSN of the last event that SET field
+    ``c``; null when no event in the file's fold ever set it. Carried in
+    every partial-update data file so MOR resolve and compaction fold
+    per-field across batches."""
+    return FLSN_PREFIX + c
+
 
 @dataclass(frozen=True)
 class DataFile:
@@ -1018,6 +1029,7 @@ class LakeTable:
         stat_cols: tuple[str, ...] = (),
         partition_by: str | None = None,
         key_bloom_bits: int = 0,
+        merge_engine: str = "lww",
     ) -> "LakeTable":
         """``stat_cols``: non-key columns whose per-file (min, max)
         footer stats are kept in the snapshot manifest, enabling
@@ -1047,6 +1059,11 @@ class LakeTable:
         10^10 rows. String/integral first keys; sized for ~key_bloom_bits/10
         distinct keys per file at ~1% false-keep (a bigger file just
         degrades toward 'never skipped', never misses)."""
+        if merge_engine not in ("lww", "partial-update"):
+            raise ValueError(
+                f"unknown merge engine {merge_engine!r}; "
+                "expected 'lww' or 'partial-update'"
+            )
         t = cls(spark, path)
         if os.path.exists(os.path.join(t._meta_dir, "HEAD")):
             raise FileExistsError(f"table already exists at {path}")
@@ -1064,6 +1081,7 @@ class LakeTable:
             "parent": None,
             "batch_id": None,
             "merge_keys": list(merge_keys),
+            "merge_engine": merge_engine,
             "n_buckets": n_buckets,
             "bucket_seed": cls.BUCKET_SEED,
             "stat_cols": list(stat_cols),
@@ -1140,6 +1158,18 @@ class LakeTable:
     def n_buckets(self) -> int:
         return self.current()["n_buckets"]
 
+    @property
+    def merge_engine(self) -> str:
+        """``"lww"`` (row-granular last-writer-wins, the default) or
+        ``"partial-update"`` (Paimon ``merge-engine=partial-update``
+        analog: per key, each non-key column independently keeps its
+        last NON-NULL value by LSN — patch events update only the
+        fields they carry). Partial-update files persist a per-field
+        LSN column (``_flsn_<col>``, the Paimon sequence-field analog)
+        so MOR deltas and compaction fold field-granularly across
+        batches."""
+        return self.current().get("merge_engine", "lww")
+
     def schema(self, snapshot: dict | None = None) -> T.StructType:
         snap = snapshot or self.current()
         return T.StructType.fromJson(snap["schemas"][str(snap["schema_version"])])
@@ -1206,13 +1236,21 @@ class LakeTable:
         snap = self.current() if version is None else self.snapshot(version)
         flist = files if files is not None else self.files(snap)
         target = self.schema(snap)
+        pu = snap.get("merge_engine", "lww") == "partial-update"
+        keys = snap["merge_keys"]
+        payload_cols = [f.name for f in target.fields if f.name not in keys]
+        flsn_names = [flsn_col(c) for c in payload_cols] if pu else []
         internal_fields = [
             T.StructField(LSN_COL, T.LongType(), True),
             T.StructField(TOMBSTONE_COL, T.BooleanType(), True),
             T.StructField(DML_SEQ_COL, T.LongType(), True),
         ]
+        flsn_fields = [T.StructField(n, T.LongType(), True) for n in flsn_names]
         if not flist:
-            out_schema = T.StructType(target.fields + (internal_fields if include_internal else []))
+            out_schema = T.StructType(
+                target.fields
+                + (internal_fields + flsn_fields if include_internal else [])
+            )
             return self.spark.createDataFrame([], out_schema)
 
         by_schema: dict[int, list[str]] = {}
@@ -1221,7 +1259,17 @@ class LakeTable:
         parts: list[DataFrame] = []
         for sv, paths in sorted(by_schema.items()):
             stored = self.schema_for_version(sv, snap)
-            read_schema = T.StructType(stored.fields + internal_fields)
+            read_fields = stored.fields + internal_fields
+            if pu:
+                # per-field LSNs under the names this file group STORES
+                # them with (pre-rename); absent columns (file predates
+                # the field) read as null — never compete in the fold
+                read_fields = read_fields + [
+                    T.StructField(flsn_col(f.name), T.LongType(), True)
+                    for f in stored.fields
+                    if f.name not in keys
+                ]
+            read_schema = T.StructType(read_fields)
             df = self.spark.read.schema(read_schema).parquet(*paths)
             # rename chain (chronological): files written before a
             # rename/drop carry the old column name; map it forward so
@@ -1232,32 +1280,71 @@ class LakeTable:
             for r in snap.get("renames", []):
                 if sv < r["at_schema_version"] and r["from"] in df.columns:
                     df = df.withColumnRenamed(r["from"], r["to"])
+                    if pu and flsn_col(r["from"]) in df.columns:
+                        # the field's LSN column follows its field
+                        df = df.withColumnRenamed(flsn_col(r["from"]), flsn_col(r["to"]))
+            if pu:
+                for n in flsn_names:  # fields added after this file group
+                    if n not in df.columns:
+                        df = df.withColumn(n, F.lit(None).cast("long"))
             parts.append(
-                align_to_schema(df, target, keep_extra=[LSN_COL, TOMBSTONE_COL, DML_SEQ_COL])
+                align_to_schema(
+                    df, target,
+                    keep_extra=[LSN_COL, TOMBSTONE_COL, DML_SEQ_COL, *flsn_names],
+                )
             )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         if (snap.get("requires_resolve", False) if resolve is None else resolve):
-            # merge-on-read: delta files overlap by key; resolve
-            # last-writer-wins by (LSN, dml_seq) before anything else
-            # sees the rows (one hash agg with map-side partials; LSN
-            # ties cannot carry divergent payloads per CDC contract
-            # EXCEPT out-of-band DML corrections, which carry a higher
-            # _dml_seq precisely so the tie resolves to the correction)
-            from ..operators.dedup import dedup_last_writer
-
             out = out.withColumn(DML_SEQ_COL, F.coalesce(F.col(DML_SEQ_COL), F.lit(0)))
-            out = dedup_last_writer(
-                out, keys=snap["merge_keys"], order_cols=(LSN_COL, DML_SEQ_COL)
-            )
+            if pu:
+                # partial-update resolve: each field independently keeps
+                # its last write by (per-field LSN, dml_seq); same
+                # 100-TB shape as row-LWW — ONE hash agg with map-side
+                # partials, max_by skipping null orderings so rows that
+                # never set a field never compete for it
+                aggs = []
+                for c in payload_cols:
+                    fl = flsn_col(c)
+                    ordering = F.when(
+                        F.col(fl).isNotNull(),
+                        F.struct(F.col(fl), F.col(DML_SEQ_COL)),
+                    )
+                    aggs.append(F.max_by(F.col(c), ordering).alias(c))
+                    aggs.append(F.max(F.col(fl)).alias(fl))
+                aggs.append(F.max(F.col(LSN_COL)).alias(LSN_COL))
+                aggs.append(
+                    F.max(F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).alias(TOMBSTONE_COL)
+                )
+                aggs.append(F.max(F.col(DML_SEQ_COL)).alias(DML_SEQ_COL))
+                out = (
+                    out.groupBy(*keys)
+                    .agg(*aggs)
+                    .select(
+                        *[f.name for f in target.fields],
+                        LSN_COL, TOMBSTONE_COL, DML_SEQ_COL, *flsn_names,
+                    )
+                )
+            else:
+                # merge-on-read: delta files overlap by key; resolve
+                # last-writer-wins by (LSN, dml_seq) before anything else
+                # sees the rows (one hash agg with map-side partials; LSN
+                # ties cannot carry divergent payloads per CDC contract
+                # EXCEPT out-of-band DML corrections, which carry a higher
+                # _dml_seq precisely so the tie resolves to the correction)
+                from ..operators.dedup import dedup_last_writer
+
+                out = dedup_last_writer(
+                    out, keys=keys, order_cols=(LSN_COL, DML_SEQ_COL)
+                )
         if not include_internal:
             # IS NULL OR = false is a pushable predicate (Or(IsNull,
             # EqualTo) reaches the parquet row-group stats); the
             # equivalent ~coalesce(col, false) is not
             out = out.where(
                 F.col(TOMBSTONE_COL).isNull() | (F.col(TOMBSTONE_COL) == F.lit(False))
-            ).drop(LSN_COL, TOMBSTONE_COL, DML_SEQ_COL)
+            ).drop(LSN_COL, TOMBSTONE_COL, DML_SEQ_COL, *flsn_names)
         return out
 
     # ---------------------------------------------------------- point lookup
@@ -1353,6 +1440,7 @@ class LakeTable:
             # silently corrupt every bucket-pruning path
             "n_buckets": old["n_buckets"],
             "bucket_seed": old.get("bucket_seed", 0),
+            "merge_engine": old.get("merge_engine", "lww"),
             "stat_cols": old.get("stat_cols", []),
             "partition_spec": old.get("partition_spec"),
             "partition_specs": _snapshot_specs(old),
@@ -1607,6 +1695,7 @@ class LakeTable:
             "merge_keys": cur["merge_keys"],
             "n_buckets": new_n_buckets,
             "bucket_seed": cur.get("bucket_seed", 0),
+            "merge_engine": cur.get("merge_engine", "lww"),
             "stat_cols": cur.get("stat_cols", []),
             "partition_spec": cur.get("partition_spec"),
             "partition_specs": _snapshot_specs(cur),
@@ -2082,6 +2171,7 @@ class LakeTable:
             "parent": cur["snapshot_id"],
             "batch_id": batch_id,
             "merge_keys": cur["merge_keys"],
+            "merge_engine": cur.get("merge_engine", "lww"),
             "n_buckets": cur["n_buckets"],
             "bucket_seed": cur.get("bucket_seed", 0),
             "stat_cols": cur.get("stat_cols", []),
