@@ -1008,14 +1008,78 @@ def dml_update_where(spark: SparkSession, sf: str) -> DataFrame:
          "deleted rows, leaving the same visible state (this oracle)",
 )
 def dml_mor_correction(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
     from ..operators.compact import compact
     from ..operators.dml import delete_where_mor, update_where_mor
 
-    t, _versions = _staged_events_table(spark, sf, "dmlmor")
+    # O(1) private mutating scaffold: zero-copy CLONE of the shared
+    # memoized staged table (LakeTable.clone — Delta SHALLOW CLONE
+    # analog) instead of a per-call 3-batch rebuild. The DML runs
+    # against shared base files by reference; its deltas and the final
+    # compaction write only under the clone's root.
+    src, _versions = _staged_events_table_shared(spark, sf)
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-dmlmor-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = src.clone(f"{root}/t")
     delete_where_mor(t, F.col("value") >= 95)
     update_where_mor(t, F.col("value") < 25, {"value": F.col("value") + 500})
     compact(t, min_files_per_bucket=1, tombstone_watermark_lsn=2**62)
     return t.scan().select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
+    "clone_divergence",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY event_id DESC) = 1
+    )
+    SELECT 'source' AS side, event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM s GROUP BY 1, 2
+    UNION ALL
+    SELECT 'clone' AS side, event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM s WHERE NOT (value >= 50) GROUP BY 1, 2
+    """,
+    note="zero-copy table clone (LakeTable.clone — Delta SHALLOW CLONE "
+         "/ Iceberg snapshot-ref analog): the clone of the shared staged "
+         "MOR table is created by METADATA ONLY (absolute refs to the "
+         "source's files, zero data copied, O(files) driver work at any "
+         "table size), then a COW DELETE runs on the clone. The query "
+         "returns per-type counts from BOTH sides: the source must be "
+         "byte-identical to its pre-clone state (the delete rewrote "
+         "shared-referenced files into clone-local ones and only "
+         "dropped manifest references), the clone must show exactly the "
+         "post-delete state (sources/lake.py clone; tests/test_clone.py)",
+)
+def clone_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.dml import delete_where
+
+    src, _versions = _staged_events_table_shared(spark, sf)
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-clonediv-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    clone = src.clone(f"{root}/t")
+    delete_where(clone, "value >= 50")
+    src_counts = (
+        src.scan().groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(F.lit("source").alias("side"), "event_type", "n_rows")
+    )
+    clone_counts = (
+        clone.scan().groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(F.lit("clone").alias("side"), "event_type", "n_rows")
+    )
+    return src_counts.unionByName(clone_counts)
 
 
 @_reg(

@@ -1097,6 +1097,68 @@ class LakeTable:
         t._write_snapshot(snap)
         return t
 
+    def clone(self, dest_path: str) -> "LakeTable":
+        """Zero-copy, metadata-only table clone (Delta ``SHALLOW CLONE``
+        / Iceberg snapshot-ref analog): the clone's genesis snapshot
+        references this table's CURRENT data files by absolute path —
+        no data is read or copied, the clone is O(files) driver metadata
+        regardless of table size. Each side then evolves under its own
+        snapshot log: writes, DML, compaction on one are invisible to
+        the other (the clone's rewrites produce files under ITS root and
+        merely drop the shared references from its manifest; the shared
+        files themselves are never touched).
+
+        Caveats (exactly Delta's shallow-clone contract):
+        - ``expire_snapshots`` (vacuum) on the SOURCE can physically
+          delete files a clone still references — vacuum the source only
+          when its clones are gone or re-materialized. The clone's own
+          vacuum is always safe: it walks only the clone's data root, so
+          shared (absolute-path) files are structurally out of reach.
+        - exactly-once state (``committed_batch_ids``) is NOT carried:
+          a clone is a new table; replaying a changelog into it
+          re-applies every batch.
+        """
+        cur = self.current()
+        t = LakeTable(self.spark, dest_path)
+        if os.path.exists(os.path.join(t._meta_dir, "HEAD")):
+            raise FileExistsError(f"table already exists at {dest_path}")
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(t.path, "data"), exist_ok=True)
+        src_root = os.path.abspath(self.path)
+        files = []
+        for d in cur["files"]:
+            d = dict(d)
+            if not os.path.isabs(d["path"]):
+                d["path"] = os.path.join(src_root, d["path"])
+            files.append(d)
+        snap = {
+            "version": 1,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent": None,
+            "batch_id": None,
+            "merge_keys": cur["merge_keys"],
+            "merge_engine": cur.get("merge_engine", "lww"),
+            "n_buckets": cur["n_buckets"],
+            "bucket_seed": cur.get("bucket_seed", 0),
+            "stat_cols": cur.get("stat_cols", []),
+            "partition_spec": cur.get("partition_spec"),
+            "partition_specs": _snapshot_specs(cur),
+            "key_bloom_bits": cur.get("key_bloom_bits", 0),
+            "schema_version": cur["schema_version"],
+            "schemas": cur["schemas"],
+            "renames": cur.get("renames", []),
+            "files": files,
+            "requires_resolve": cur.get("requires_resolve", False),
+            "summary": {
+                "operation": "clone",
+                "source": src_root,
+                "source_version": cur["version"],
+                "total_rows": sum(d["rows"] for d in files),
+            },
+        }
+        t._write_snapshot(snap)
+        return t
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LakeTable":
         t = cls(spark, path)
