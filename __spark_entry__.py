@@ -81,43 +81,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # 1-3 left these 19 unchecked or stale (never checked / last checked in
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
-    # new in round 4
-    "repetition_filter",
-    "ngram_topk",
-    "partition_stats_metadata",
-    "partial_update_state",
-    "streaming_partial_update",
-    "metadata_live_count",
-    "online_neardup_ingest",
-    "zorder_multirange_scan",
-    "clustered_range_scan",
-    "jdbc_scan",
-    "pii_scrub",
-    "domain_mix_sample",
-    "partition_evolution_scan",
-    # never driver-checked through round 3
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "stratified_sample",
-    "pack_sequences",
-    "contamination_flags",
-    "streaming_join_enrich",
-    "streaming_lww_dedup",
-    "streaming_sessionize",
-    # last checked in round 2
-    "embedding_knn",
-    "simhash_neardup_pairs",
-    "embedding_neardup_cosine",
-    "ann_ivf",
-    "lang_id",
-    # last checked in round 1
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "binary_features",
-    "multimodal_decode",
-    "streaming_windowed_counts",
+    # new in round 5 (never driver-checked)
+    "online_ann_ingest",
+    "clone_divergence",
+    "lake_partial_update_merge",
+    # missed the round-4 window (driver union must stay 100%: these 33
+    # + the 3 above + flagship = 37 of the 50-query window; the
+    # remaining 13 slots backfill round-4-checked queries)
+    "semi_join_members",
+    "zonal_rollup",
+    "hierarchy_rollup",
+    "region_member_agg",
+    "rolling_mean_rows",
+    "rolling_mean_range",
+    "rank_return_period",
+    "topk_per_group",
+    "quantile_boundaries",
+    "quantile_buckets",
+    "derive_replace_quantile",
+    "asof_click_attribution",
+    "grid_multiply",
+    "scalar_funcs",
+    "distinct_ordered",
+    "scalar_agg",
+    "json_props_extract",
+    "sessionize_events",
+    "union_dedup_except",
+    "rollup_grouping_sets",
+    "seasonal_climatology",
+    "threshold_nullout",
+    "rank_avg_ties",
+    "dropna_clean",
+    "collect_qualifying_years",
+    "transcript_assembly",
+    "transcript_assembly_arrow",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_xxh",
+    "neardup_clusters",
+    "simhash_signatures",
 )
 
 
