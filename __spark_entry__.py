@@ -83,6 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
     "online_ann_ingest",
+    "ngram_topk_sketch",
     "clone_divergence",
     "lake_partial_update_merge",
     # missed the round-4 window (driver union must stay 100%: these 33

@@ -1703,6 +1703,22 @@ def repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
 NGRAM_TOPK = 20
 
 
+def _doc_grams(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per (document, distinct word-2-gram) — distinct happens
+    in the array (map-side) before the explode."""
+    d = table(spark, sf, "documents")
+    ws = TXT.words(F.col("text"))
+    nw = F.size(ws)
+    grams = F.zip_with(
+        F.slice(ws, 1, nw - 1),
+        F.slice(ws, 2, nw - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return d.select(F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+
+
 @_reg(
     "ngram_topk",
     f"""
@@ -1727,16 +1743,85 @@ NGRAM_TOPK = 20
          "result is deterministic at any scale.",
 )
 def ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
-    ws = TXT.words(F.col("text"))
-    nw = F.size(ws)
-    grams = F.zip_with(
-        F.slice(ws, 1, nw - 1),
-        F.slice(ws, 2, nw - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     return (
-        d.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        _doc_grams(spark, sf)
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(NGRAM_TOPK)
+    )
+
+
+SKETCH_CAP = 4096  # Misra-Gries counters per partition (bounds memory AND error)
+
+
+def _mg_fold(items, counts: dict, cap: int) -> None:
+    """Misra-Gries step: fold ``items`` into ``counts`` holding at most
+    ``cap`` counters (decrement-evict). Any item with stream frequency
+    > n/cap is guaranteed to survive."""
+    for g in items:
+        if g in counts:
+            counts[g] += 1
+        elif len(counts) < cap:
+            counts[g] = 1
+        else:
+            for k in [k for k in counts if counts[k] == 1]:
+                del counts[k]
+            for k in counts:
+                counts[k] -= 1
+
+
+
+
+@_reg(
+    "ngram_topk_sketch",
+    # the sketch's oracle IS the exact query's: the candidate re-count
+    # makes every reported count exact, and at driver-check scale the
+    # capacity exceeds per-partition cardinality so the candidate set
+    # provably contains every gram
+    f"""
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+    )
+    GROUP BY gram
+    ORDER BY doc_freq DESC, gram ASC
+    LIMIT {NGRAM_TOPK}
+    """,
+    note="approximate heavy-hitters twin of ngram_topk (same twin "
+         "pattern as minhash md5/xxh): pass 1 is a per-partition "
+         "Misra-Gries summary over mapInPandas — HARD-BOUNDED at "
+         f"{SKETCH_CAP} counters per task regardless of corpus size, zero "
+         "shuffle; pass 2 re-counts ONLY the candidate grams exactly "
+         "(broadcast semi-join filter, then one hash agg whose exchange "
+         "carries candidates instead of the full distinct-gram "
+         "cardinality — the exact query's one scale risk). The final "
+         "answer is EXACT (hence the identical oracle) whenever every "
+         "true top-k gram survives its partition summaries, which the "
+         "MG bound guarantees when the k-th doc-frequency exceeds "
+         "n_partition/capacity — at 100 TB that is precisely the "
+         "'heavy hitter' regime the query exists for, and the exact "
+         "re-count means near-misses can only DROP a candidate, never "
+         "report a wrong count",
+)
+def ngram_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    cap = SKETCH_CAP  # captured by VALUE — module globals don't reach workers
+
+    def mg_partial(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            _mg_fold(pdf["gram"], counts, cap)
+        if counts:
+            yield pd.DataFrame({"gram": list(counts.keys())})
+
+    grams = _doc_grams(spark, sf)
+    cand = grams.mapInPandas(mg_partial, "gram string").distinct()
+    return (
+        grams.join(F.broadcast(cand), "gram")
         .groupBy("gram")
         .agg(F.count("*").cast("long").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("gram"))

@@ -358,3 +358,55 @@ def test_ngram_topk_partial_topk_no_global_sort(spark):
     p = _plan(spark, "ngram_topk")
     assert "TakeOrderedAndProject" in p
     assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ngram_topk_sketch_bounded_candidates_broadcast_recount(spark):
+    # pass 1 (Misra-Gries partials) must run directly over the scan —
+    # no Exchange may feed the MapInPandas (the summary is
+    # per-partition by design, shuffling first would defeat it); the
+    # exact re-count must filter through a BROADCAST join (the
+    # candidate set is the bounded side), and top-k must stay
+    # TakeOrderedAndProject
+    p = _plan(spark, "ngram_topk_sketch")
+    tree = p.split("\n\n")[0].splitlines()
+    (mi,) = [i for i, l in enumerate(tree) if "MapInPandas" in l]
+    indent = tree[mi].index("MapInPandas")
+    subtree = []
+    for line in tree[mi + 1:]:
+        stripped = line.replace("+-", "  ").replace(":-", "  ")
+        depth = len(stripped) - len(stripped.lstrip())
+        if depth <= indent:
+            break
+        subtree.append(line)
+    assert subtree, "MapInPandas has no children in the plan tree"
+    assert not any("Exchange" in l for l in subtree)
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+    # the sketch answer IS the exact answer at this scale
+    exact = sorted(
+        tuple(r) for r in REGISTRY["ngram_topk"].fn(spark, SF).collect()
+    )
+    sketch = sorted(
+        tuple(r) for r in REGISTRY["ngram_topk_sketch"].fn(spark, SF).collect()
+    )
+    assert sketch == exact
+
+
+def test_mg_fold_capacity_bound_and_heavy_hitter_guarantee():
+    # force evictions: capacity 8 over a stream with 200 distinct
+    # singletons + one item at frequency 120; the summary must never
+    # exceed the cap and the heavy hitter must survive (freq 120 >
+    # n/cap = 320/8) — the exact guarantee ngram_topk_sketch rests on
+    from ds_floodexposure_monitoring_spark.plans.contract_docs import _mg_fold
+
+    stream = [f"g{i}" for i in range(200)] + ["hot"] * 120
+    import random
+
+    for seed in (0, 1, 2):
+        random.Random(seed).shuffle(stream)
+        counts = {}
+        for i in range(0, len(stream), 37):  # arbitrary batch cuts
+            _mg_fold(stream[i:i + 37], counts, 8)
+            assert len(counts) <= 8
+        assert "hot" in counts
