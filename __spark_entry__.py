@@ -84,6 +84,7 @@ _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
     "online_ann_ingest",
     "ngram_topk_sketch",
+    "stratified_sample_lake",
     "clone_divergence",
     "lake_partial_update_merge",
     # missed the round-4 window (driver union must stay 100%: these 33

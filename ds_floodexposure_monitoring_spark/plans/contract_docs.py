@@ -1337,15 +1337,96 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return _stratified_sample_plan(table(spark, sf, "documents"), SAMPLE_K)
 
 
-def _stratified_sample_plan(
-    d: DataFrame, k: int, safety: int = 4
-) -> DataFrame:
-    """Hash-cutoff stratified top-K: constant quota K per stratum."""
-    sizes = {
+def _stratum_sizes(d: DataFrame) -> dict:
+    """Scan-side stratum counts — one full pass with map-side partials;
+    lake-table callers skip this via ``partition_row_counts()``."""
+    return {
         r["lang"]: r["n"]
         for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
+
+
+def _stratified_sample_plan(
+    d: DataFrame, k: int, safety: int = 4, sizes: dict | None = None
+) -> DataFrame:
+    """Hash-cutoff stratified top-K: constant quota K per stratum.
+    ``sizes`` lets callers supply pre-counted stratum sizes (e.g. from
+    a lake table's manifests) and drop the plan's one full-corpus
+    counting pass."""
+    if sizes is None:
+        sizes = _stratum_sizes(d)
     return _hash_rank_quota_plan(d, {s: k for s in sizes}, sizes, safety)
+
+
+_LAKE_DOCS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _lake_documents_by_lang_shared(spark: SparkSession, sf: str):
+    """Memoized read-only scaffold: the documents corpus staged AS a
+    lake table identity-partitioned by ``lang`` — the layout a curation
+    pipeline would keep its corpus in, where per-stratum row counts are
+    manifest facts, not a scan."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lake import LakeTable
+
+    per = _LAKE_DOCS_CACHE.get(spark)
+    if per is None:
+        per = _LAKE_DOCS_CACHE[spark] = {}
+    hit = per.get(sf)
+    if hit is not None:
+        t, ver = hit
+        if t.version == ver:
+            return t
+    docs = table(spark, sf, "documents")
+    h = hashlib.md5(f"{sf}|lakedocs".encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-lakedocs-{h}")
+    shutil.rmtree(d, ignore_errors=True)
+    t = LakeTable.create(
+        spark,
+        d,
+        docs.schema,
+        merge_keys=("doc_id",),
+        n_buckets=8,
+        partition_by="lang",
+    )
+    t.replace(docs, batch_id="seed")
+    per[sf] = (t, t.version)
+    return t
+
+
+@_reg(
+    "stratified_sample_lake",
+    f"""
+    SELECT lang, doc_id, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY {_hhex_sql('CAST(doc_id AS VARCHAR)', 'samp')}, doc_id
+    ) <= {SAMPLE_K}
+    """,
+    note="stratified_sample with MANIFEST-BACKED stratum counts: the "
+         "corpus lives in a lake table identity-partitioned by lang, so "
+         "the sampler's pass-1 stratum census is read from the file "
+         "manifests (LakeTable.partition_row_counts — sum of rows - "
+         "tombstones per partition value, zero data I/O, O(files) "
+         "driver work) instead of a full corpus scan; the hash-cutoff "
+         "prefilter, bounded window, and exact shortfall fallback are "
+         "unchanged, and the result is identical to stratified_sample "
+         "(same oracle) — one fewer full pass at any scale",
+)
+def stratified_sample_lake(spark: SparkSession, sf: str) -> DataFrame:
+    t = _lake_documents_by_lang_shared(spark, sf)
+    sizes = t.partition_row_counts()
+    if sizes is None:  # unprovable metadata: fall back to the scan census
+        return _stratified_sample_plan(
+            t.scan().select("lang", "doc_id", "n_chars"), SAMPLE_K
+        )
+    return _stratified_sample_plan(
+        t.scan().select("lang", "doc_id", "n_chars"), SAMPLE_K, sizes=sizes
+    )
 
 
 def _hash_rank_quota_plan(

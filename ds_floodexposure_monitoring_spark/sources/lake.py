@@ -1263,6 +1263,35 @@ class LakeTable:
                 return sum(f.rows - f.tombstones for f in fs)
         return self.scan(version=version).count()
 
+    def partition_row_counts(self, version: int | None = None) -> dict | None:
+        """Per-partition live-row counts from manifests alone (the
+        GROUP BY partition analog of ``count_rows``): zero data I/O,
+        O(files) driver time. The stratum-count input the curation
+        samplers (plans/contract_docs.py ``_hash_rank_quota_plan``)
+        otherwise pay a full corpus scan for.
+
+        Returns ``None`` whenever metadata cannot PROVE the counts —
+        unresolved MOR deltas (physical rows double-count superseded
+        versions), unknown per-file tombstone counts (legacy manifest),
+        unpartitioned files, or files written under more than one
+        partition spec (the same value can mean different slices) —
+        and callers fall back to the scan-side count."""
+        snap = self.current() if version is None else self.snapshot(version)
+        if snap.get("requires_resolve", False):
+            return None
+        fs = self.files(snap)
+        if any(
+            f.part is None or f.tombstones is None or f.spec_id is None
+            for f in fs
+        ):
+            return None
+        if len({f.spec_id for f in fs}) > 1:
+            return None
+        out: dict = {}
+        for f in fs:
+            out[f.part] = out.get(f.part, 0) + f.rows - f.tombstones
+        return {p: n for p, n in out.items() if n > 0}
+
     def bucket_expr(self, key_col: str | None = None) -> F.Column:
         """bucket = pmod(xxhash64(first merge key[, seed]), n_buckets)."""
         key = key_col or self.merge_keys[0]
