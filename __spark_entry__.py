@@ -82,14 +82,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
+    "runtime_filtered_join",
+    "corpus_shuffle",
     "online_ann_ingest",
     "ngram_topk_sketch",
     "stratified_sample_lake",
     "clone_divergence",
     "lake_partial_update_merge",
     # missed the round-4 window (driver union must stay 100%: these 33
-    # + the 3 above + flagship = 37 of the 50-query window; the
-    # remaining 13 slots backfill round-4-checked queries)
+    # + the 7 above + flagship = 41 of the 50-query window; the
+    # remaining 9 slots backfill round-4-checked queries)
     "semi_join_members",
     "zonal_rollup",
     "hierarchy_rollup",

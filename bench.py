@@ -58,14 +58,21 @@ HEADLINE = [
     "clustered_range_scan",
     "zorder_multirange_scan",
     "online_neardup_ingest",
+    "online_ann_ingest",
+    "lake_partial_update_merge",
+    "clone_divergence",
+    "runtime_filtered_join",
     "jdbc_scan",
     "pii_scrub",
     "repetition_filter",
     "ngram_topk",
+    "ngram_topk_sketch",
     "partial_update_state",
     "stratified_sample",
+    "stratified_sample_lake",
     "domain_mix_sample",
     "pack_sequences",
+    "corpus_shuffle",
     "contamination_flags",
     "transcript_assembly",
     "token_count",

@@ -646,6 +646,50 @@ def point_lookup_lake(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "runtime_filtered_join",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    ),
+    d AS (
+      SELECT user_id,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS dim_total
+      FROM events GROUP BY user_id
+      ORDER BY dim_total DESC, user_id LIMIT 10
+    )
+    SELECT s.user_id, s.event_type, s.value, s.ts, d.dim_total
+    FROM s JOIN d ON s.user_id = d.user_id
+    """,
+    note="dim-driven dynamic file pruning (Delta dynamic-file-pruning / "
+         "Iceberg runtime-filter analog): the dim side's distinct join "
+         "keys (bounded, loud guard past max_keys) cut the lake table's "
+         "file set by (bucket, footer key range, manifest key bloom) "
+         "BEFORE Catalyst sees a scan — Spark's own DPP cannot reach "
+         "inside a manifest-addressed table — then a broadcast hash "
+         "join enriches only the surviving files' rows; exact under MOR "
+         "because pruning is key-closed on requested keys and the "
+         "equi-join discards partially-resolved bystander keys "
+         "(LakeTable.join_pruned)",
+)
+def runtime_filtered_join(spark: SparkSession, sf: str) -> DataFrame:
+    """3 MOR batches into the shared staged table; the dim is the top-10
+    users by all-version total value — join_pruned scans only the files
+    those 10 keys can live in and broadcast-joins the dim's total on."""
+    t, _versions = _staged_events_table_shared(spark, sf)
+    dim = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.round(_msum("value"), 6).alias("dim_total"))
+        .orderBy(F.col("dim_total").desc(), "user_id")
+        .limit(10)
+    )
+    return t.join_pruned(dim).select(
+        "user_id", "event_type", "value", "ts", "dim_total"
+    )
+
+
+@_reg(
     "partition_pruned_scan",
     """
     WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,

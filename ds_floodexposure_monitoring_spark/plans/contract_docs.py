@@ -1661,6 +1661,54 @@ def _pack_sequences_plan(
     )
 
 
+N_SHUF_SHARDS = 8  # sandbox value; production sets shards ~ O(fleet width)
+
+
+@_reg(
+    "corpus_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_h60_sql("CAST(doc_id AS VARCHAR)", "shuf")} AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           hv % {N_SHUF_SHARDS} AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY hv % {N_SHUF_SHARDS} ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+    note="deterministic corpus shuffle for training order: every doc "
+         "gets a seeded 60-bit hash (md5 family — exact DuckDB mirror; "
+         "production twin would use xxhash64, same plan), shard = "
+         "hash mod N (balanced by hash uniformity, reproducible across "
+         "runs and engines), pos = hash-order rank within the shard. "
+         "The plan is ONE exchange on shard + an in-partition sort — "
+         "at 100 TB the shard count is set ~O(fleet) so each task "
+         "externally sorts corpus/N; no global sort, no driver state; "
+         "readers stream shard files in pos order for a stable "
+         "training-data permutation (re-runs and backfills reproduce "
+         "the exact order, the property shuffled-dataset bugs are "
+         "diagnosed with)",
+)
+def corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded pseudo-random permutation of `documents` into
+    N_SHUF_SHARDS balanced shards with a within-shard position."""
+    d = table(spark, sf, "documents")
+    h = _h60(F.col("doc_id").cast("string"), "shuf")
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id", h.alias("hv"))
+        .withColumn("shard", F.col("hv") % N_SHUF_SHARDS)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
 CONTAM_MIN_SHARED = 3  # shared distinct 3-shingles to flag contamination
 
 

@@ -1506,6 +1506,67 @@ class LakeTable:
         flist = self.prune_for_keys(values)
         return self.scan(files=flist).where(F.col(key0).isin(list(values)))
 
+    def join_pruned(
+        self,
+        dim: DataFrame,
+        on: str | None = None,
+        how: str = "inner",
+        max_keys: int = 100_000,
+    ) -> DataFrame:
+        """Dim-driven dynamic file pruning (Delta dynamic-file-pruning /
+        Iceberg runtime-filter analog): collect the dim side's DISTINCT
+        join keys (bounded — raises past ``max_keys`` rather than
+        silently degrading into an unbounded driver collect), prune this
+        table's data files by (bucket, footer key range, manifest key
+        bloom) via ``prune_for_keys``, and broadcast-hash-join the
+        surviving scan with the dim. At 10^10 rows this turns "enrich
+        the 10K active conversations" from a full-table scan + shuffle
+        join into O(keys) metadata work + a scan of only the files that
+        can hold a requested key + a broadcast join with no exchange on
+        the fact side — Spark's own runtime filtering (DPP / InSubquery
+        pushdown) cannot reach inside a manifest-addressed table, so the
+        engine does the file-set cut itself before Catalyst ever sees a
+        scan.
+
+        Exactness under MOR: ``prune_for_keys`` keeps every file that
+        can hold any requested key (all of a key's versions share its
+        bucket, and range/bloom probes are sound), so requested keys
+        LWW-resolve identically to a full scan; keys NOT in the dim may
+        resolve against partial version chains in the surviving subset,
+        and the equi-join is what discards them — no post-hoc ``IN``
+        filter (which at 10^5 keys would be a giant codegen'd predicate)
+        is needed.
+
+        ``on`` defaults to (and must be) the table's first merge key —
+        bucket/bloom pruning is only sound on the hashed key. ``how``:
+        ``'inner'`` (enrich: fact rows + dim columns) or ``'semi'``
+        (filter: fact rows only). The dim is broadcast, which is the
+        regime this path exists for; a dim too big to broadcast is
+        exactly the case where file pruning cannot help and a plain
+        bucketed join is the right plan.
+        """
+        key0 = self.merge_keys[0]
+        if on is None:
+            on = key0
+        if on != key0:
+            raise ValueError(
+                f"join_pruned prunes on the first merge key {key0!r}; got on={on!r}"
+            )
+        if how not in ("inner", "semi"):
+            raise ValueError(f"join_pruned supports how='inner'|'semi', got {how!r}")
+        rows = dim.select(on).distinct().limit(max_keys + 1).collect()
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"join_pruned collected more than max_keys={max_keys} distinct "
+                "dim keys — runtime file pruning cannot help at that "
+                "cardinality; use a plain bucketed join instead"
+            )
+        values = [r[0] for r in rows if r[0] is not None]
+        fact = self.scan(files=self.prune_for_keys(values))
+        if how == "semi":
+            return fact.join(F.broadcast(dim.select(on).distinct()), on, "semi")
+        return fact.join(F.broadcast(dim), on, "inner")
+
     def rollback(self, to_version: int) -> dict:
         """Restore the table to a retained earlier snapshot's state by
         COMMITTING a new snapshot that references that version's file

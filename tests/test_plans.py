@@ -91,6 +91,18 @@ def test_transcript_assembly_pure_jvm_one_agg(spark):
     assert "Aggregate" in before_exchange  # partial agg before the shuffle
 
 
+def test_corpus_shuffle_one_exchange_pruned_scan(spark):
+    # deterministic training-order shuffle: ONE hashpartitioning(shard)
+    # exchange + an in-partition sort serves the whole permutation (no
+    # global sort, no second shuffle), and the scan reads only doc_id
+    import re
+
+    p = _plan(spark, "corpus_shuffle")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "rangepartitioning" not in p  # never a global ORDER BY
+    assert "text" not in p.split("ReadSchema:")[1].split("\n")[0]
+
+
 def test_rollup_grouping_sets_one_pass(spark):
     # rollup() compiles to a single Expand + aggregate over ONE scan of
     # the joined base — not three separate aggregations unioned
