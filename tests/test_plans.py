@@ -91,6 +91,18 @@ def test_transcript_assembly_pure_jvm_one_agg(spark):
     assert "Aggregate" in before_exchange  # partial agg before the shuffle
 
 
+def test_runtime_filtered_join_broadcasts(spark):
+    # dim-driven dynamic file pruning: the fact side never shuffles for
+    # the join — the dim broadcasts; the only exchanges are the MOR
+    # resolve agg and the dim's own groupBy
+    import re
+
+    p = _plan(spark, "runtime_filtered_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
 def test_corpus_shuffle_one_exchange_pruned_scan(spark):
     # deterministic training-order shuffle: ONE hashpartitioning(shard)
     # exchange + an in-partition sort serves the whole permutation (no
