@@ -22,7 +22,8 @@ cluster) or falls back to ``local[$SPARK_GRAFT_CPUS]``.
 Subcommands mirror the engine lifecycle: ``datagen`` (seeded synthetic
 change log), ``ingest`` (resume-from-checkpoint micro-batch replay),
 ``compact`` (MOR delta folding), ``expire`` (snapshot retention +
-orphan vacuum), ``show`` (table state). Every subcommand prints one
+orphan vacuum), ``show`` (table state), ``clone`` (zero-copy shallow
+clone). Every subcommand prints one
 JSON summary line on stdout so cluster logs stay machine-parseable.
 
 Reference analog: the repo's pipelines are invoked as module scripts
@@ -268,6 +269,21 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-clone")
+    table = LakeTable.load(spark, args.table_dir)
+    c = table.clone(args.dest_dir)
+    snap = c.current()
+    _emit({
+        "op": "clone", "table_dir": args.table_dir, "dest_dir": args.dest_dir,
+        "source_version": table.version, "files_shared": len(snap["files"]),
+        "rows": snap["summary"]["total_rows"],
+    })
+    return 0
+
+
 def cmd_rebucket(args) -> int:
     from .sources.lake import LakeTable
 
@@ -475,6 +491,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--table-dir", required=True)
     r.add_argument("--to-version", type=int, required=True)
     r.set_defaults(fn=cmd_rollback)
+
+    cl = sub.add_parser("clone", help="zero-copy metadata-only table clone "
+                        "(SHALLOW CLONE analog; no data read or copied)")
+    _add_common(cl)
+    cl.add_argument("--table-dir", required=True)
+    cl.add_argument("--dest-dir", required=True)
+    cl.set_defaults(fn=cmd_clone)
 
     rb = sub.add_parser("rebucket", help="change the table's bucket count (full rewrite)")
     _add_common(rb)

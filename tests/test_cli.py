@@ -91,6 +91,18 @@ def test_cli_lifecycle(spark, tmpdir_path, capsys):
     lst = _run(capsys, ["branch", "list", "--table-dir", table])
     assert lst["branches"].keys() == {"main"} and lst["tags"] == {"golden": t["version"]}
 
+    # zero-copy clone: shares every file, reads the same live state;
+    # DML on the clone never touches the source
+    cl = _run(capsys, ["clone", "--table-dir", table,
+                       "--dest-dir", f"{tmpdir_path}/clone"])
+    assert cl["files_shared"] > 0 and cl["source_version"] == s4["version"]
+    sc = _run(capsys, ["show", "--table-dir", f"{tmpdir_path}/clone"])
+    assert sc["live_rows"] == s4["live_rows"]
+    dc = _run(capsys, ["delete", "--table-dir", f"{tmpdir_path}/clone",
+                       "--where", "turn_idx = 1"])
+    assert dc["rows_matched"] > 0
+    assert _run(capsys, ["show", "--table-dir", table])["live_rows"] == s4["live_rows"]
+
 
 def test_cli_rejects_bad_mode(spark):
     with pytest.raises(SystemExit):
