@@ -84,14 +84,15 @@ _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
     "runtime_filtered_join",
     "corpus_shuffle",
+    "metadata_minmax",
     "online_ann_ingest",
     "ngram_topk_sketch",
     "stratified_sample_lake",
     "clone_divergence",
     "lake_partial_update_merge",
     # missed the round-4 window (driver union must stay 100%: these 33
-    # + the 7 above + flagship = 41 of the 50-query window; the
-    # remaining 9 slots backfill round-4-checked queries)
+    # + the 8 above + flagship = 42 of the 50-query window; the
+    # remaining 8 slots backfill round-4-checked queries)
     "semi_join_members",
     "zonal_rollup",
     "hierarchy_rollup",

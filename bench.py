@@ -62,6 +62,7 @@ HEADLINE = [
     "lake_partial_update_merge",
     "clone_divergence",
     "runtime_filtered_join",
+    "metadata_minmax",
     "jdbc_scan",
     "pii_scrub",
     "repetition_filter",

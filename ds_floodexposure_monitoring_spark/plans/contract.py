@@ -913,6 +913,38 @@ def metadata_live_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "metadata_minmax",
+    """
+    WITH s AS (
+      SELECT ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY event_id DESC) = 1
+    )
+    SELECT CAST(min(ts) AS TIMESTAMP) AS min_ts,
+           CAST(max(ts) AS TIMESTAMP) AS max_ts
+    FROM s
+    """,
+    note="MIN/MAX aggregate pushdown to manifests (the Iceberg/Trino "
+         "stats-based aggregate analog, sibling of metadata_live_count): "
+         "on the major-compacted resolved scaffold every physical row is "
+         "live and tombstone-free, so min/max(ts) is the fold of the "
+         "manifest col_stats envelopes — ZERO data-file I/O, O(files) "
+         "driver time, exact because compaction rewrote the stats over "
+         "the RESOLVED rows; the query RAISES if the metadata path "
+         "cannot prove the bounds (unresolved snapshot, tombstones, "
+         "missing stats) rather than silently scanning "
+         "(sources/lake.py col_bounds)",
+)
+def metadata_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """min/max(ts) over resolved live state answered from manifest
+    column stats alone."""
+    t = _resolved_partitioned_events_table_shared(spark, sf)
+    b = t.col_bounds("ts")
+    assert b is not None, "metadata min/max path lost"
+    return spark.createDataFrame([b], "min_ts timestamp, max_ts timestamp")
+
+
+@_reg(
     "partition_evolution_scan",
     """
     WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,

@@ -1292,6 +1292,65 @@ class LakeTable:
             out[f.part] = out.get(f.part, 0) + f.rows - f.tombstones
         return {p: n for p, n in out.items() if n > 0}
 
+    def col_bounds(self, col: str, version: int | None = None):
+        """MIN/MAX aggregate pushdown to metadata (the Iceberg/Trino
+        stats-based min/max answer, the sibling of ``count_rows``): on
+        a resolved snapshot with ZERO tombstones every physical row is
+        live, so min/max over a stat-tracked column is the fold of the
+        manifest ``col_stats`` envelopes — zero data I/O, O(files)
+        driver time. Returns ``(lo, hi)`` in the column's own type
+        (timestamps/dates de-normalized from the manifest's epoch
+        representation), or ``None`` whenever metadata cannot PROVE the
+        bounds: unresolved MOR deltas, any tombstoned rows (a deleted
+        row may hold the extreme), a file without stats for the column,
+        or an empty table. Restricted to numeric/temporal columns:
+        parquet writers may TRUNCATE string statistics, which is sound
+        for range pruning (an envelope) but not for an exact answer.
+        SQL MIN/MAX semantics: parquet stats exclude nulls; an all-null
+        file has no stats and conservatively returns None."""
+        field = next(
+            (x for x in self.schema().fields if x.name == col), None
+        )
+        if field is None:
+            raise ValueError(f"unknown column {col!r}")
+        temporal = isinstance(
+            field.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
+        numeric = isinstance(field.dataType, T.NumericType)
+        if not (temporal or numeric):
+            raise ValueError(
+                f"col_bounds supports numeric/temporal columns; {col!r} is "
+                f"{field.dataType.simpleString()} (string stats may be "
+                "truncated by the writer — sound for pruning, not for an "
+                "exact answer)"
+            )
+        snap = self.current() if version is None else self.snapshot(version)
+        if snap.get("requires_resolve", False):
+            return None
+        fs = self.files(snap)
+        if not fs:
+            return None
+        lo = hi = None
+        for f in fs:
+            if f.tombstones is None or f.tombstones > 0:
+                return None
+            cs = (f.col_stats or {}).get(col)
+            if not cs or cs[0] is None or cs[1] is None:
+                return None
+            lo = cs[0] if lo is None else min(lo, cs[0])
+            hi = cs[1] if hi is None else max(hi, cs[1])
+        if isinstance(field.dataType, T.DateType):
+            return (
+                _EPOCH.date() + datetime.timedelta(days=lo),
+                _EPOCH.date() + datetime.timedelta(days=hi),
+            )
+        if temporal:  # stored as epoch microseconds (see _stat_scalar)
+            return (
+                _EPOCH + datetime.timedelta(microseconds=lo),
+                _EPOCH + datetime.timedelta(microseconds=hi),
+            )
+        return lo, hi
+
     def bucket_expr(self, key_col: str | None = None) -> F.Column:
         """bucket = pmod(xxhash64(first merge key[, seed]), n_buckets)."""
         key = key_col or self.merge_keys[0]

@@ -108,3 +108,69 @@ def test_both_writer_modes_carry_tombstone_counts(
     # unprovable, count_rows falls back and the assert still holds)
     assert t.count_rows() == t.scan().count() == 49
     assert sum(f.rows for f in fs) == 50
+
+
+# ----------------------------------------------------- col_bounds
+import datetime as _dt
+
+
+def _ts_rows(spark, lo, hi, deletes=()):
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, f"c{i % 10}", i // 10, "user", f"t-{i}", None,
+         base + _dt.timedelta(hours=i), "U")
+        for i in range(lo, hi)
+    ]
+    rows += [(hi + j + 1, c, ti, None, None, None, None, "D")
+             for j, (c, ti) in enumerate(deletes)]
+    return spark.createDataFrame(rows, DDL)
+
+
+@pytest.fixture()
+def stat_table(spark, tmpdir_path):
+    return LakeTable.create(
+        spark, os.path.join(tmpdir_path, "ts"), transcript_schema(),
+        n_buckets=4, stat_cols=("turn_idx", "ts"),
+    )
+
+
+def test_col_bounds_numeric_and_timestamp(spark, stat_table):
+    merge_into(stat_table, _ts_rows(spark, 0, 80), op_col="op", batch_id="b1")
+    assert not stat_table.current().get("requires_resolve", False)
+    assert stat_table.col_bounds("turn_idx") == (0, 7)
+    lo, hi = stat_table.col_bounds("ts")
+    assert lo == _dt.datetime(2024, 1, 1)
+    assert hi == _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=79)
+
+
+def test_col_bounds_refuses_unprovable(spark, stat_table, tmpdir_path):
+    merge_into(stat_table, _ts_rows(spark, 0, 80), op_col="op", batch_id="b1")
+    # tombstones: a deleted row may hold the extreme -> None
+    merge_into(stat_table, _ts_rows(spark, 80, 80, [("c1", 0)]),
+               op_col="op", batch_id="b2")
+    assert stat_table.col_bounds("turn_idx") is None
+    # untracked column: no stats anywhere -> None
+    bare = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bare"), transcript_schema(),
+        n_buckets=4,
+    )
+    merge_into(bare, _ts_rows(spark, 0, 10), op_col="op", batch_id="b1")
+    assert bare.col_bounds("turn_idx") is None
+
+
+def test_col_bounds_mor_unresolved_none(spark, stat_table):
+    merge_append(stat_table, _ts_rows(spark, 0, 50), op_col="op", batch_id="b1")
+    merge_append(stat_table, _ts_rows(spark, 25, 75), op_col="op", batch_id="b2")
+    assert stat_table.current().get("requires_resolve", False)
+    assert stat_table.col_bounds("turn_idx") is None
+    # major compact resolves (no deletes -> no tombstones): bounds return
+    compact(stat_table, min_files_per_bucket=1)
+    assert stat_table.col_bounds("turn_idx") == (0, 7)
+
+
+def test_col_bounds_guards(spark, stat_table):
+    merge_into(stat_table, _ts_rows(spark, 0, 10), op_col="op", batch_id="b1")
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        stat_table.col_bounds("text")
+    with pytest.raises(ValueError, match="unknown column"):
+        stat_table.col_bounds("nope")
