@@ -2182,3 +2182,178 @@ def jdbc_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.round(_msum("value"), 6).alias("total"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# ------------------------------------------------- CDC envelope decoders
+@_reg(
+    "debezium_decode_lww",
+    """
+    WITH last AS (
+      SELECT user_id, event_type, value, props, ts, event_id,
+             (event_id % 11 = 0) AS is_del,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, value, props, ts,
+           CAST(event_id AS BIGINT) AS last_lsn
+    FROM last WHERE rn = 1 AND NOT is_del
+    """,
+    note="Debezium JSON envelope decode → canonical change events → LWW "
+         "state (sources/envelope.decode_debezium). The envelope stream "
+         "is derived deterministically from events: op 'd' when "
+         "event_id%11=0 (before = key-only image, after absent), else "
+         "'c'/'u' with the full row in after; source.lsn = event_id; ts "
+         "travels as int64 epoch micros (Debezium MicroTimestamp "
+         "convention); EVEN event_ids ship schemas.enable-wrapped "
+         "({'payload': …}), ODD ones unwrapped — one decoder accepts "
+         "both dialects row-by-row. Decode is a single whole-stage-"
+         "codegen projection (from_json + field routing, zero Python "
+         "UDFs — plan-pinned in tests/test_envelope.py); the only "
+         "shuffle is the LWW hash agg with map-side partials. The "
+         "oracle bypasses JSON entirely and computes the state straight "
+         "from events, so a green row proves the encode→decode→merge "
+         "loop is lossless incl. the double/props/timestamp roundtrip",
+)
+def debezium_decode_lww(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.envelope import decode_debezium
+
+    ev = table(spark, sf, "events")
+    payload_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("ts", T.LongType()),  # MicroTimestamp: epoch micros
+        ]
+    )
+    is_del = F.col("event_id") % 11 == 0
+    after = F.struct(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    before_del = F.struct(  # delete images carry the key, nothing else
+        F.col("user_id"),
+        F.col("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+        F.lit(None).cast("long").alias("ts"),
+    )
+    inner = F.struct(
+        F.when(is_del, F.lit("d"))
+        .when(F.col("event_id") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.when(is_del, before_del).alias("before"),
+        F.when(~is_del, after).alias("after"),
+        F.struct(
+            F.col("event_id").alias("lsn"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        ).alias("source"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    raw = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.to_json(F.struct(inner.alias("payload"))))
+        .otherwise(F.to_json(inner))
+        .alias("value")
+    )
+    dec = decode_debezium(raw, "value", payload_schema)
+    state = dedup_last_writer(
+        dec.where(~F.col("_corrupt")).drop("_corrupt"),
+        keys=("user_id", "event_type"),
+        order_cols=("_lsn",),
+        strategy="agg",
+    )
+    return state.where(~F.col("_tombstone")).select(
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.timestamp_micros(F.col("ts")).cast("timestamp_ntz").alias("ts"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
+@_reg(
+    "maxwell_decode_state",
+    """
+    WITH env AS (
+      SELECT user_id, event_type, value, props, ts,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000 + event_id AS lsn,
+             (event_id % 13 = 0) AS is_del
+      FROM events
+    ),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY lsn DESC) AS rn
+      FROM env
+    )
+    SELECT user_id, event_type, value, props, ts, lsn AS last_lsn
+    FROM last WHERE rn = 1 AND is_del = FALSE
+    """,
+    note="Maxwell JSON envelope decode → LWW state "
+         "(sources/envelope.decode_maxwell): type 'delete' when "
+         "event_id%13=0 (Maxwell carries the FULL deleted image in "
+         "data, unlike Debezium's key-only before), else 'insert'; "
+         "envelope ts = commit epoch-seconds, xid = event_id, and the "
+         "decoder's default ordering key ts*1e6+xid makes intra-second "
+         "commit order total — the oracle reproduces that key "
+         "arithmetic exactly. Same zero-UDF single-projection decode "
+         "plan as the Debezium twin",
+)
+def maxwell_decode_state(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.envelope import decode_maxwell
+
+    ev = table(spark, sf, "events")
+    payload_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("ts", T.LongType()),  # epoch micros
+        ]
+    )
+    data = F.struct(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    env = F.struct(
+        F.lit("appdb").alias("database"),
+        F.lit("events").alias("table"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("type"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)).alias("ts"),
+        F.col("event_id").alias("xid"),
+        F.lit(True).alias("commit"),
+        F.concat(F.lit("master.000001:"), F.col("event_id")).alias("position"),
+        data.alias("data"),
+    )
+    raw = ev.select(F.to_json(env).alias("value"))
+    dec = decode_maxwell(raw, "value", payload_schema)
+    state = dedup_last_writer(
+        dec.where(~F.col("_corrupt")).drop("_corrupt"),
+        keys=("user_id", "event_type"),
+        order_cols=("_lsn",),
+        strategy="agg",
+    )
+    return state.where(~F.col("_tombstone")).select(
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.timestamp_micros(F.col("ts")).cast("timestamp_ntz").alias("ts"),
+        F.col("_lsn").alias("last_lsn"),
+    )
