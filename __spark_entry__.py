@@ -82,6 +82,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
+    "debezium_decode_lww",
+    "maxwell_decode_state",
     "runtime_filtered_join",
     "corpus_shuffle",
     "metadata_minmax",
@@ -91,8 +93,8 @@ _CHECK_PRIORITY = (
     "clone_divergence",
     "lake_partial_update_merge",
     # missed the round-4 window (driver union must stay 100%: these 33
-    # + the 8 above + flagship = 42 of the 50-query window; the
-    # remaining 8 slots backfill round-4-checked queries)
+    # + the 10 above + flagship = 44 of the 50-query window; the
+    # remaining 6 slots backfill round-4-checked queries)
     "semi_join_members",
     "zonal_rollup",
     "hierarchy_rollup",

@@ -80,6 +80,8 @@ HEADLINE = [
     "doc_fingerprint",
     "quality_score",
     "multimodal_decode",
+    "debezium_decode_lww",
+    "maxwell_decode_state",
 ]
 
 # sf0.1 -> 16M events: the same production-size-batch regime as

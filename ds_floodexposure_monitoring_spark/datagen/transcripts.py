@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_FILE_RE = re.compile(r"events-(\d{12})-(\d{12})\.parquet$")
+_FILE_RE = re.compile(r"events-(\d{12})-(\d{12})\.(?:parquet|jsonl)$")
 
 
 @dataclass(frozen=True)
@@ -262,3 +262,80 @@ def parse_changelog_filename(path: str) -> tuple[int, int] | None:
     if not m:
         return None
     return int(m.group(1)), int(m.group(2))
+
+
+def write_envelope_changelog(
+    parquet_root: str, jsonl_root: str, dialect: str = "debezium"
+) -> int:
+    """Re-express a generated parquet changelog as JSON-envelope files
+    (``shard=S/events-<a>-<b>.jsonl``, one envelope per line) for the
+    EnvelopeChangelogReader (sources/envelope.py) — the test/bench
+    fixture for Debezium/Maxwell-shaped ingest. Returns files written.
+
+    Deterministic mapping, file-for-file and row-for-row (same offsets,
+    same arrival order, so batch plans and batch ids line up with the
+    parquet tail):
+
+    - debezium: op I→c, U→u, D→d (full last image in ``before``, the
+      connector's documented delete shape); ``source.lsn`` carries the
+      lsn; ``ts`` travels as int64 epoch micros (MicroTimestamp); EVEN
+      lsns are schemas.enable-wrapped ({"payload": …}), ODD unwrapped —
+      both dialects exercised in every file.
+    - maxwell: type insert/update/delete with the full image in
+      ``data``; fixture convention ``ts``=0, ``xid``=lsn so the
+      decoder's default ordering key ts*1e6+xid reproduces the lsn
+      exactly.
+
+    Driver-side pyarrow (datagen only runs at test scale; the
+    production tail writer would emit envelopes directly).
+    """
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    if dialect not in ("debezium", "maxwell"):
+        raise ValueError(f"unknown dialect {dialect!r}")
+    n_files = 0
+    for shard_dir in sorted(_glob.glob(os.path.join(parquet_root, "shard=*"))):
+        out_dir = os.path.join(jsonl_root, os.path.basename(shard_dir))
+        os.makedirs(out_dir, exist_ok=True)
+        for p in sorted(_glob.glob(os.path.join(shard_dir, "events-*.parquet"))):
+            rows = pq.read_table(p).to_pylist()
+            lines = []
+            for r in rows:
+                lsn, op = r.pop("lsn"), r.pop("op")
+                r.pop("shard", None)
+                ts = r.get("ts")
+                if ts is not None:  # epoch micros on the wire
+                    epoch = ts.timestamp() if ts.tzinfo else (
+                        ts - __import__("datetime").datetime(1970, 1, 1)
+                    ).total_seconds()
+                    r["ts"] = int(round(epoch * 1_000_000))
+                if dialect == "debezium":
+                    code = {"I": "c", "U": "u", "D": "d"}[op]
+                    inner = {
+                        "op": code,
+                        "before": r if code == "d" else None,
+                        "after": None if code == "d" else r,
+                        "source": {"lsn": lsn, "db": "fixture", "table": "t"},
+                        "ts_ms": None,
+                    }
+                    env = {"payload": inner} if lsn % 2 == 0 else inner
+                else:
+                    typ = {"I": "insert", "U": "update", "D": "delete"}[op]
+                    env = {
+                        "database": "fixture",
+                        "table": "t",
+                        "type": typ,
+                        "ts": 0,
+                        "xid": lsn,
+                        "position": f"fixture:{lsn}",
+                        "data": r,
+                    }
+                lines.append(_json.dumps(env, sort_keys=True))
+            base = os.path.basename(p)[: -len(".parquet")]
+            with open(os.path.join(out_dir, base + ".jsonl"), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            n_files += 1
+    return n_files

@@ -86,6 +86,11 @@ class ChangelogReader:
     _schema_cache: dict[str, T.StructType] = field(default_factory=dict)
     _converted: dict[str, T.StructType] = field(default_factory=dict)
 
+    # filename convention per wire format; subclasses (e.g. the JSON
+    # envelope reader in sources/envelope.py) override the extension —
+    # discovery/planning/offset semantics are format-independent
+    FILE_GLOB = "events-*.parquet"
+
     # ------------------------------------------------------------ discovery
     def discover(self, offsets: dict[int, int] | None = None) -> list[ChangeFile]:
         """All files strictly past the per-shard watermark, offset order.
@@ -97,7 +102,7 @@ class ChangelogReader:
         for shard_dir in sorted(glob.glob(os.path.join(self.root, "shard=*"))):
             shard = int(shard_dir.split("=")[-1])
             wm = offsets.get(shard, 0)
-            for p in sorted(glob.glob(os.path.join(shard_dir, "events-*.parquet"))):
+            for p in sorted(glob.glob(os.path.join(shard_dir, self.FILE_GLOB))):
                 rng = parse_changelog_filename(p)
                 if rng is None:
                     continue

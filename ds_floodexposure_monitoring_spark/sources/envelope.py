@@ -69,6 +69,7 @@ __all__ = [
     "maxwell_envelope_schema",
     "decode_debezium",
     "decode_maxwell",
+    "EnvelopeChangelogReader",
 ]
 
 
@@ -235,3 +236,95 @@ def decode_maxwell(
             corrupt.alias(corrupt_col),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pipeline wiring: a ChangelogReader over JSON-envelope files, so the
+# same CDCPipeline (discovery, watermark pruning, deterministic batch
+# ids, exactly-once replay detection, quarantine, MERGE) ingests a
+# Debezium/Maxwell tail with zero changes to its control loop. Only the
+# read step differs: text scan + the one-projection decode above.
+from dataclasses import dataclass as _dataclass
+
+from .changelog import ChangelogReader, MicroBatch
+
+
+def _json_side_schema(payload_schema: T.StructType) -> T.StructType:
+    """The schema handed to ``from_json``: temporal payload fields travel
+    as int64 epoch micros on the wire (Debezium MicroTimestamp; the
+    Maxwell fixture mirrors it), so declare them LongType for parsing
+    and rebuild real timestamps afterwards."""
+    fields = []
+    for f in payload_schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            dt = T.LongType()
+        fields.append(T.StructField(f.name, dt, True))
+    return T.StructType(fields)
+
+
+@_dataclass
+class EnvelopeChangelogReader(ChangelogReader):
+    """Drop-in ``ChangelogReader`` over ``shard=S/events-<a>-<b>.jsonl``
+    files of Debezium or Maxwell JSON envelopes (one envelope per line).
+
+    Same offset-encoded filename convention, so discovery, watermark
+    pruning, micro-batch planning and batch ids are inherited unchanged
+    — the wire format is purely a read_batch concern. The decoded batch
+    comes back in the pipeline's native contract: payload columns +
+    ``lsn`` + ``op`` ('D' tombstones / 'U' upserts) + ``_corrupt``
+    (malformed envelopes, null payload/lsn — the runner dead-letters
+    them via the standard quarantine channel, or fails loudly when no
+    quarantine is configured; they are never silently dropped or
+    merged).
+
+    ``payload_schema`` is the REAL payload schema (timestamps as
+    TimestampType): wire-side int64 micros are declared automatically
+    for parsing and rebuilt with ``timestamp_micros``. Mid-stream
+    additive schema changes need no special handling — pass the widest
+    schema; earlier envelopes simply parse the missing fields to null,
+    exactly what align_to_schema produces on the parquet path.
+
+    Scale shape: the decode is the same single whole-stage-codegen
+    projection as :func:`decode_debezium` — one narrow map stage over
+    however many line-split tasks the text scan yields; no extra
+    shuffle vs the parquet path. JSON parse cost is inherent to the
+    wire format, not this reader.
+    """
+
+    dialect: str = "debezium"
+    payload_schema: T.StructType | None = None
+
+    FILE_GLOB = "events-*.jsonl"
+
+    def __post_init__(self):
+        if self.dialect not in ("debezium", "maxwell"):
+            raise ValueError(f"unknown envelope dialect {self.dialect!r}")
+        if self.payload_schema is None:
+            raise ValueError("EnvelopeChangelogReader requires payload_schema")
+
+    def read_batch(self, batch: MicroBatch) -> DataFrame:
+        assert batch.files
+        wire = _json_side_schema(self.payload_schema)
+        raw = self.spark.read.text([f.path for f in batch.files])
+        dec = (
+            decode_debezium(raw, "value", wire)
+            if self.dialect == "debezium"
+            else decode_maxwell(raw, "value", wire)
+        )
+        cols: list[Column] = []
+        for f in self.payload_schema.fields:
+            c = F.col(f.name)
+            if isinstance(f.dataType, T.TimestampType):
+                c = F.timestamp_micros(c)
+            elif isinstance(f.dataType, T.TimestampNTZType):
+                # epoch micros -> NTZ is exact under the engine's pinned
+                # UTC session (session.py)
+                c = F.timestamp_micros(c).cast("timestamp_ntz")
+            cols.append(c.alias(f.name))
+        return dec.select(
+            *cols,
+            F.col(LSN_COL).alias("lsn"),
+            F.when(F.col(TOMBSTONE_COL), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("_corrupt"),
+        )

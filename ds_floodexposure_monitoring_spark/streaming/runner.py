@@ -15,6 +15,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.compact import compact, merge_append
 from ..operators.merge import MergeStats, merge_into
@@ -52,6 +53,8 @@ class CDCPipeline:
         orphan_grace_sec: float = 3600.0,
         quarantine_dir: str | None = None,
         invalid_when=None,
+        changelog_format: str = "parquet",
+        payload_schema=None,
     ):
         """``mode``: 'cow' rewrites affected buckets per batch (read-
         optimized); 'mor' appends delta files and resolves at scan
@@ -78,9 +81,32 @@ class CDCPipeline:
         are diverted there with a reason instead of failing the batch or
         corrupting the table; the merge sees only valid rows and metrics
         record the per-batch quarantined count (streaming/quarantine.py).
-        Default None = validation off, zero extra passes over the batch."""
+        Default None = validation off, zero extra passes over the batch.
+
+        ``changelog_format``: 'parquet' (native columnar tail) or
+        'debezium'/'maxwell' — JSON-envelope files in the same
+        offset-encoded shard layout, decoded by
+        sources/envelope.EnvelopeChangelogReader (requires
+        ``payload_schema``, the widest payload StructType). Envelope
+        batches carry a ``_corrupt`` flag: with a quarantine configured
+        corrupt envelopes dead-letter with reason 'corrupt envelope';
+        without one the batch FAILS loudly rather than merging rows
+        whose key/lsn are unparseable."""
         self.spark = spark
-        self.reader = ChangelogReader(spark, changelog_dir, max_events_per_batch)
+        if changelog_format == "parquet":
+            self.reader = ChangelogReader(spark, changelog_dir, max_events_per_batch)
+        elif changelog_format in ("debezium", "maxwell"):
+            from ..sources.envelope import EnvelopeChangelogReader
+
+            self.reader = EnvelopeChangelogReader(
+                spark,
+                changelog_dir,
+                max_events_per_batch,
+                dialect=changelog_format,
+                payload_schema=payload_schema,
+            )
+        else:
+            raise ValueError(f"unknown changelog_format {changelog_format!r}")
         self.table = table
         self.ckpt = CheckpointStore(checkpoint_dir)
         self.metrics = MetricsLog(spark, metrics_dir) if metrics_dir else None
@@ -125,6 +151,18 @@ class CDCPipeline:
         n_quarantined = 0
         if not replayed:
             df = self.reader.read_batch(batch)
+            # Envelope formats flag undecodable rows instead of dropping
+            # them (sources/envelope.py). They must never reach the
+            # merge: null key/lsn would corrupt LWW resolution.
+            has_corrupt_flag = "_corrupt" in df.columns
+            if has_corrupt_flag and self.quarantine is None:
+                if not df.where(F.col("_corrupt")).isEmpty():
+                    raise ValueError(
+                        f"batch {batch.batch_id} contains corrupt envelopes "
+                        "and no quarantine_dir is configured — refusing to "
+                        "merge (configure quarantine_dir to dead-letter them)"
+                    )
+                df = df.drop("_corrupt")
             if self.quarantine is not None:
                 from .quarantine import Quarantine as _Q
                 from .quarantine import invalid_reason
@@ -132,10 +170,19 @@ class CDCPipeline:
                 reason = invalid_reason(
                     self.table.merge_keys, "lsn", extra=self.invalid_when
                 )
+                if has_corrupt_flag:
+                    # corrupt outranks the null-key/null-lsn rules: the
+                    # row wasn't malformed data, it never parsed at all
+                    reason = F.when(
+                        F.col("_corrupt"),
+                        F.lit("corrupt envelope: unparseable or missing op"),
+                    ).otherwise(reason)
                 bad = df.where(reason.isNotNull()).withColumn(_Q.REASON_COL, reason)
                 n_quarantined = self.quarantine.write(bad, batch.batch_id)
                 if n_quarantined:
                     df = df.where(reason.isNull())
+                if has_corrupt_flag:
+                    df = df.drop("_corrupt")
             common = dict(
                 op_col="op" if "op" in df.columns else None,
                 batch_id=batch.batch_id,
