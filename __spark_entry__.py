@@ -84,6 +84,7 @@ _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
     "debezium_decode_lww",
     "maxwell_decode_state",
+    "streaming_envelope_decode",
     "runtime_filtered_join",
     "corpus_shuffle",
     "metadata_minmax",

@@ -113,6 +113,16 @@ def cmd_ingest(args) -> int:
         keep_snapshots=args.keep_snapshots,
         orphan_grace_sec=args.orphan_grace_sec,
         quarantine_dir=args.quarantine_dir,
+        changelog_format=args.log_format,
+        # widest payload for envelope decode: an explicit --schema-json
+        # wins (lets a declared future column evolve in mid-stream);
+        # else the table's current schema
+        payload_schema=(
+            (T.StructType.fromJson(json.load(open(args.schema_json)))
+             if args.schema_json else table.schema())
+            if args.log_format != "parquet"
+            else None
+        ),
     )
     results = pipe.run_until_caught_up(max_batches=args.max_batches)
     events = sum(r.batch.n_events for r in results)
@@ -450,6 +460,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ingest to this branch head instead of main (write-audit-publish)")
     i.add_argument("--quarantine-dir", default=None,
                    help="dead-letter store for malformed events (default: fail-open, no validation)")
+    i.add_argument("--log-format", choices=("parquet", "debezium", "maxwell"),
+                   default="parquet",
+                   help="changelog wire format: native columnar parquet, or "
+                        "JSON envelope files decoded via sources/envelope.py "
+                        "(payload schema = the table schema; pass "
+                        "--schema-json on first ingest if it differs)")
     i.set_defaults(fn=cmd_ingest)
 
     c = sub.add_parser("compact", help="fold MOR delta files into base files")

@@ -153,3 +153,41 @@ def _run_partial_update(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.stateful import run_partial_update_stream_sync
 
     return run_partial_update_stream_sync(spark, f"{sf}/events.parquet")
+
+
+REGISTRY["streaming_envelope_decode"] = QuerySpec(
+    fn=lambda spark, sf: _run_envelope(spark, sf),
+    # the oracle bypasses JSON entirely: it computes the surviving state
+    # straight from events (newest change per key wins; keys whose
+    # newest change is the derived delete — event_id%11=0 — are GONE),
+    # so a green row proves the full streaming encode -> from_json
+    # decode -> tombstone-aware stateful fold loop is lossless
+    oracle_sql="""
+    WITH last AS (
+      SELECT user_id, event_type, value, props, ts, event_id,
+             (event_id % 11 = 0) AS is_del,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, value, props, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(event_id AS BIGINT) AS last_lsn
+    FROM last WHERE rn = 1 AND NOT is_del
+    """,
+    note="Debezium envelopes under Structured Streaming: the same "
+         "decode_debezium projection as the batch debezium_decode_lww "
+         "(from_json is streaming-compatible — no batch-only machinery) "
+         "feeding a tombstone-aware applyInPandasWithState LWW whose "
+         "deleted keys emit NOTHING at the watermark flush (the MERGE "
+         "path's delete semantics, unlike streaming_lww_dedup's "
+         "delete-less winners); deletes carry the full last image in "
+         "`before` (the connector's richer documented delete shape), "
+         "which keeps the event-time watermark column non-null for "
+         "every op",
+)
+
+
+def _run_envelope(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.stateful import run_envelope_lww_stream_sync
+
+    return run_envelope_lww_stream_sync(spark, f"{sf}/events.parquet")

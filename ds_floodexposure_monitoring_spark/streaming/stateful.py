@@ -26,6 +26,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 GAP_MIN = 30
@@ -386,4 +387,150 @@ def run_partial_update_stream_sync(spark: SparkSession, events_path: str) -> Dat
     out_schema = T._parse_datatype_string(PUS_OUT_SCHEMA)
     return _drain_append_with_sentinel(
         spark, events_path, partial_update_stream, out_schema
+    )
+
+
+# ----------------------------------------------------------------- envelope
+ENV_OUT_SCHEMA = (
+    "user_id long, event_type string, value double, props string, "
+    "ts timestamp, last_lsn long"
+)
+ENV_STATE_SCHEMA = "lsn long, tomb boolean, value double, props string, ts_us long"
+
+
+def _env_fn(key, pdfs, state: GroupState):
+    """Tombstone-aware keyed LWW over DECODED envelope events: state is
+    the max-LSN change per key including deletes; at the watermark
+    timeout a live winner emits its row, a tombstone winner emits
+    NOTHING — the key is gone, exactly the MERGE path's delete
+    semantics. Same bounded-state discipline as _lww_fn."""
+    import pandas as pd
+
+    user_id, event_type = key
+
+    def emit(lsn, value, props, ts_us):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "value": [value],
+                "props": [props],
+                "ts": [pd.Timestamp(ts_us, unit="us")],
+                "last_lsn": [lsn],
+            }
+        )
+
+    if state.hasTimedOut:
+        lsn, tomb, value, props, ts_us = state.get
+        state.remove()
+        if not tomb:
+            yield emit(lsn, value, props, ts_us)
+        return
+
+    if state.exists:
+        lsn, tomb, value, props, ts_us = state.get
+    else:
+        lsn = tomb = value = props = ts_us = None
+    max_seen_us = 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        i = pdf["_lsn"].idxmax()
+        cand = int(pdf["_lsn"].loc[i])
+        wm_us = pdf["wm"].astype("int64") // 1_000
+        max_seen_us = max(max_seen_us, int(wm_us.max()))
+        if lsn is None or cand > lsn:
+            lsn = cand
+            tomb = bool(pdf["_tombstone"].loc[i])
+            value = float(pdf["value"].loc[i])
+            props = str(pdf["props"].loc[i])
+            ts_us = int(pdf["ts"].loc[i])
+    if lsn is not None:
+        state.update((lsn, tomb, value, props, ts_us))
+        state.setTimeoutTimestamp((max_seen_us + LWW_QUIET_US) // 1_000)
+
+
+def envelope_lww_stream(events: DataFrame, watermark: str = "1 second") -> DataFrame:
+    """Debezium tail under Structured Streaming: encode each event as
+    the connector's JSON envelope (op d when event_id%11=0 with the
+    full last image in `before`, else c/u with the row in `after`;
+    source.lsn = event_id; ts as int64 epoch micros; EVEN lsns
+    schemas.enable-wrapped, ODD unwrapped — the same deterministic wire
+    fixture as the batch debezium_decode_lww query except deletes carry
+    the full image, Debezium's documented richer delete shape), decode
+    with the SAME sources/envelope.decode_debezium projection the batch
+    path uses (from_json is fully streaming-compatible — one narrow map
+    stage, no extra shuffle), then fold to final state with a
+    tombstone-aware keyed LWW whose deleted keys emit nothing.
+
+    Proves the decoder is a valid streaming front door: readStream(text
+    from Kafka-ish lines) -> decode -> stateful merge needs no batch
+    machinery."""
+    from ..sources.envelope import decode_debezium
+
+    is_del = F.col("event_id") % 11 == 0
+    img = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+        F.col("props").alias("props"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    inner = F.struct(
+        F.when(is_del, F.lit("d"))
+        .when(F.col("event_id") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            F.col("event_id").cast("long").alias("lsn"),
+            F.lit(None).cast("long").alias("ts_ms"),
+            F.lit("bench").alias("db"),
+            F.lit(None).cast("string").alias("schema"),
+            F.lit("events").alias("table"),
+        ).alias("source"),
+        F.lit(None).cast("long").alias("ts_ms"),
+    )
+    wire = events.select(
+        F.to_json(
+            F.when(F.col("event_id") % 2 == 0, F.struct(inner.alias("payload")))
+        ).alias("even"),
+        F.to_json(inner).alias("odd"),
+        (F.col("event_id") % 2 == 0).alias("is_even"),
+    ).select(
+        F.when(F.col("is_even"), F.col("even")).otherwise(F.col("odd")).alias("value")
+    )
+
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("ts", T.LongType()),  # MicroTimestamp
+        ]
+    )
+    dec = decode_debezium(wire, "value", payload).where(~F.col("_corrupt"))
+    src = dec.withColumn("wm", F.timestamp_micros(F.col("ts")))
+    return (
+        src.withWatermark("wm", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _env_fn,
+            ENV_OUT_SCHEMA,
+            ENV_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_envelope_lww_stream_sync(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drive the streaming envelope decode + tombstone-aware LWW to
+    completion over a bounded file source (sentinel watermark flush) and
+    return the final live state (parquet-backed result path)."""
+    out_schema = T._parse_datatype_string(ENV_OUT_SCHEMA)
+    return _drain_append_with_sentinel(
+        spark, events_path, envelope_lww_stream, out_schema
     )

@@ -161,3 +161,31 @@ def test_cli_drop_partitions_int_identity(spark, tmpdir_path, capsys):
     d = _run(capsys, ["drop-partitions", "--table-dir", tdir, "--before", "2"])
     assert d["dropped"] == [0, 1]
     assert LakeTable.load(spark, tdir).scan().count() == 8
+
+
+def test_cli_envelope_ingest(spark, tmpdir_path, capsys):
+    """ingest --log-format debezium: the JSON-envelope tail through the
+    spark-submit surface lands the same live rows as the parquet tail."""
+    from ds_floodexposure_monitoring_spark.datagen.transcripts import (
+        write_envelope_changelog,
+    )
+
+    log = f"{tmpdir_path}/log"
+    _run(capsys, ["datagen", "--log-dir", log, "--events", "8000",
+                  "--shards", "2", "--seed", "13"])
+    env = f"{tmpdir_path}/env"
+    write_envelope_changelog(log, env, "debezium")
+
+    a = _run(capsys, ["ingest", "--log-dir", log,
+                      "--table-dir", f"{tmpdir_path}/t_pq",
+                      "--checkpoint-dir", f"{tmpdir_path}/ck_pq",
+                      "--mode", "mor", "--batch-events", "3000",
+                      "--n-buckets", "4"])
+    b = _run(capsys, ["ingest", "--log-dir", env, "--log-format", "debezium",
+                      "--table-dir", f"{tmpdir_path}/t_env",
+                      "--checkpoint-dir", f"{tmpdir_path}/ck_env",
+                      "--mode", "mor", "--batch-events", "3000",
+                      "--n-buckets", "4",
+                      "--quarantine-dir", f"{tmpdir_path}/q"])
+    assert b["final_rows"] == a["final_rows"] > 0
+    assert b["batches"] == a["batches"]
