@@ -85,6 +85,7 @@ _CHECK_PRIORITY = (
     "debezium_decode_lww",
     "maxwell_decode_state",
     "streaming_envelope_decode",
+    "cdc_feed_envelope_roundtrip",
     "runtime_filtered_join",
     "corpus_shuffle",
     "metadata_minmax",

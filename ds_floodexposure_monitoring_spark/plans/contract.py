@@ -367,6 +367,67 @@ def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "cdc_feed_envelope_roundtrip",
+    """
+    WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),
+    b3 AS (
+      SELECT user_id, event_type, value, ts, event_id
+      FROM events, h WHERE event_id > cut
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    ),
+    prior AS (SELECT DISTINCT user_id, event_type FROM events, h WHERE event_id <= cut)
+    SELECT b3.user_id, b3.event_type, b3.value, b3.ts,
+           b3.event_id AS change_lsn,
+           CASE WHEN p.user_id IS NULL THEN 'insert' ELSE 'update' END AS change_type
+    FROM b3 LEFT JOIN prior p
+      ON b3.user_id = p.user_id AND b3.event_type = p.event_type
+    """,
+    note="lake-as-a-source: the same snapshot-diff change feed EXPORTED "
+         "as Debezium envelopes (sources/envelope.encode_debezium — one "
+         "to_json projection, no shuffle) then decoded back "
+         "(decode_debezium with op passthrough). The oracle is the "
+         "cdc_change_feed SQL verbatim, so a green row proves the "
+         "encode→decode loop reproduces the feed bit-for-bit — "
+         "double/timestamp-micros/lsn/op all survive the wire — i.e. a "
+         "downstream engine instance can tail THIS lake exactly as this "
+         "engine tails an upstream WAL",
+)
+def cdc_feed_envelope_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.envelope import decode_debezium, encode_debezium
+
+    t, versions = _staged_events_table_shared(spark, sf)
+    feed = t.scan_changes(versions[2], versions[3]).select(
+        "user_id", "event_type", "value", "ts", "change_lsn", "change_type"
+    )
+    wire = encode_debezium(
+        feed, ["user_id", "event_type", "value", "ts"],
+        db="bench", table="events",
+    )
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.LongType()),  # MicroTimestamp
+        ]
+    )
+    dec = decode_debezium(wire, "value", payload, op_col_out="_op")
+    return dec.where(~F.col("_corrupt")).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.timestamp_micros(F.col("ts")).cast("timestamp_ntz").alias("ts"),
+        F.col("_lsn").alias("change_lsn"),
+        F.when(F.col("_op") == "c", F.lit("insert"))
+        .when(F.col("_op") == "u", F.lit("update"))
+        .otherwise(F.lit("delete"))
+        .alias("change_type"),
+    )
+
+
+@_reg(
     "time_travel_scan",
     """
     WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events)

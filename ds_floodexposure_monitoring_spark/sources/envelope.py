@@ -69,6 +69,7 @@ __all__ = [
     "maxwell_envelope_schema",
     "decode_debezium",
     "decode_maxwell",
+    "encode_debezium",
     "EnvelopeChangelogReader",
 ]
 
@@ -130,9 +131,15 @@ def decode_debezium(
     drop_reads: bool = False,
     corrupt_col: str = "_corrupt",
     keep_cols: tuple[str, ...] = (),
+    op_col_out: str | None = None,
 ) -> DataFrame:
     """Decode Debezium JSON envelopes in ``df[value_col]`` to canonical
     change events.
+
+    ``op_col_out`` optionally surfaces the raw Debezium op code
+    ('c'/'u'/'r'/'d') as an output column — consumers that need the
+    create-vs-update distinction (e.g. reconstructing a change feed)
+    read it there; the MERGE path ignores it.
 
     Returns payload columns + ``_lsn`` + ``_tombstone`` + ``corrupt_col``
     (+ any ``keep_cols`` passed through from ``df``, e.g. a Kafka
@@ -184,6 +191,7 @@ def decode_debezium(
             .otherwise(is_del)
             .alias(TOMBSTONE_COL),
             corrupt.alias(corrupt_col),
+            *([op.alias(op_col_out)] if op_col_out else []),
         )
     )
 
@@ -328,3 +336,62 @@ class EnvelopeChangelogReader(ChangelogReader):
             F.when(F.col(TOMBSTONE_COL), F.lit("D")).otherwise(F.lit("U")).alias("op"),
             F.col("_corrupt"),
         )
+
+
+def encode_debezium(
+    df: DataFrame,
+    payload_cols: list[str] | tuple[str, ...],
+    *,
+    op_col: str = "change_type",
+    lsn_col: str = "change_lsn",
+    wrapped: bool = True,
+    db: str = "lake",
+    table: str = "table",
+    value_col: str = "value",
+) -> DataFrame:
+    """The export half of the envelope story: serialize change rows
+    (e.g. ``LakeTable.scan_changes`` output) as Debezium-shaped JSON so
+    a downstream consumer — another engine instance, a Kafka topic, any
+    Debezium-speaking sink — can tail THIS lake the way this engine
+    tails an upstream WAL.
+
+    ``op_col`` accepts 'insert'/'update'/'delete' (the change-feed
+    vocabulary) or already-Debezium 'c'/'u'/'d'/'r'. Deletes carry the
+    payload (the feed's pre-image) in ``before``; everything else in
+    ``after``. Temporal payload columns serialize as int64 epoch micros
+    (MicroTimestamp), ``lsn_col`` rides ``source.lsn`` — exactly what
+    :func:`decode_debezium` reverses, and the round trip is lossless
+    (pytest + the cdc_feed_envelope_roundtrip contract query prove it
+    value-exact on a real change feed).
+
+    One whole-stage-codegen ``to_json`` projection: no shuffle, no
+    Python, same scale shape as the decode."""
+    op_norm = (
+        F.when(F.col(op_col).isin("insert", "c", "r"), F.lit("c"))
+        .when(F.col(op_col).isin("update", "u"), F.lit("u"))
+        .when(F.col(op_col).isin("delete", "d"), F.lit("d"))
+    )
+    img_fields = []
+    for c in payload_cols:
+        col = F.col(c)
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            col = F.unix_micros(col.cast("timestamp"))
+        img_fields.append(col.alias(c))
+    img = F.struct(*img_fields)
+    is_del = op_norm == "d"
+    inner = F.struct(
+        op_norm.alias("op"),
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            F.col(lsn_col).cast("long").alias("lsn"),
+            F.lit(None).cast("long").alias("ts_ms"),
+            F.lit(db).alias("db"),
+            F.lit(None).cast("string").alias("schema"),
+            F.lit(table).alias("table"),
+        ).alias("source"),
+        F.lit(None).cast("long").alias("ts_ms"),
+    )
+    env = F.struct(inner.alias("payload")) if wrapped else inner
+    return df.select(F.to_json(env).alias(value_col))

@@ -193,3 +193,48 @@ def test_envelope_decode_plan_is_pure_jvm(spark, name):
     before_exchange = p.split("Exchange")[0]
     # map-side partials (Hash for flat state, Sort for struct max_by state)
     assert "Aggregate" in before_exchange
+
+
+def test_encode_decode_roundtrip_with_deletes(spark):
+    """encode_debezium -> decode_debezium is lossless, including the
+    delete pre-image routing and the op passthrough."""
+    from datetime import datetime
+
+    from ds_floodexposure_monitoring_spark.sources.envelope import (
+        encode_debezium,
+    )
+
+    feed = spark.createDataFrame(
+        [
+            ("a", 0, "hello", datetime(2024, 1, 1, 12, 0, 0, 123456), 10, "insert"),
+            ("a", 1, "world", datetime(2024, 1, 2), 11, "update"),
+            ("b", 0, "gone", datetime(2024, 1, 3), 12, "delete"),
+        ],
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "change_lsn long, change_type string",
+    )
+    wire = encode_debezium(
+        feed, ["conv_id", "turn_idx", "text", "ts"], db="d", table="t"
+    )
+    wire_payload = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    dec = decode_debezium(wire, "value", wire_payload, op_col_out="_op")
+    rows = {
+        (r.conv_id, r.turn_idx): (r.text, r.ts, r._lsn, r._tombstone, r._op)
+        for r in dec.withColumn("ts", F.timestamp_micros("ts")).collect()
+    }
+    assert len(rows) == 3 and not any(
+        r._corrupt for r in dec.collect()
+    )
+    assert rows[("a", 0)] == (
+        "hello", datetime(2024, 1, 1, 12, 0, 0, 123456), 10, False, "c",
+    )
+    assert rows[("a", 1)][3:] == (False, "u")
+    # delete: payload rode `before`, tombstone true, micros exact
+    assert rows[("b", 0)] == ("gone", datetime(2024, 1, 3), 12, True, "d")
