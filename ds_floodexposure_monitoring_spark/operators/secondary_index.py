@@ -107,6 +107,32 @@ def index_append(
     return merge_append(index, rows, batch_id=batch_id)
 
 
+def index_backfill(index: LakeTable, base: LakeTable, col: str):
+    """Enable an index on a table that already has data: index the
+    CURRENT resolved state in one O(table) pass (paid once; every later
+    batch is O(batch) via ``index_append``). Rows carry their stored
+    ``_lsn`` so a later redelivery of an already-backfilled event still
+    folds idempotently. The backfill's ledger id pins the snapshot it
+    covered — re-running after a crash is a no-op."""
+    from ..sources.lake import LSN_COL, TOMBSTONE_COL
+
+    state = base.scan(include_internal=True)
+    if TOMBSTONE_COL in state.columns:
+        # include_internal exposes _lsn but also keeps tombstoned rows;
+        # deleted keys need no postings (stale-but-sound either way)
+        state = state.where(
+            F.col(TOMBSTONE_COL).isNull() | ~F.col(TOMBSTONE_COL)
+        )
+    return index_append(
+        index,
+        base,
+        state,
+        col,
+        lsn_col=LSN_COL,
+        batch_id=f"backfill-v{base.version}",
+    )
+
+
 def lookup(
     index: LakeTable,
     base: LakeTable,

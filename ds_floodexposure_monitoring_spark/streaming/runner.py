@@ -55,6 +55,7 @@ class CDCPipeline:
         invalid_when=None,
         changelog_format: str = "parquet",
         payload_schema=None,
+        indexes: dict[str, LakeTable] | None = None,
     ):
         """``mode``: 'cow' rewrites affected buckets per batch (read-
         optimized); 'mor' appends delta files and resolves at scan
@@ -82,6 +83,18 @@ class CDCPipeline:
         corrupting the table; the merge sees only valid rows and metrics
         record the per-batch quarantined count (streaming/quarantine.py).
         Default None = validation off, zero extra passes over the batch.
+
+        ``indexes``: secondary indexes maintained AT INGEST — a mapping
+        of indexed column → its postings lake table (created via
+        operators/secondary_index.create_index, or backfilled onto an
+        existing table via index_backfill). Each batch's (value, key)
+        pairs merge into every index right after the base merge, under
+        the index's OWN exactly-once ledger id ``<batch_id>:ix:<col>``,
+        so both crash windows converge on restart: base committed but
+        index not (base replays as a no-op, the index append still
+        runs), or index committed but checkpoint not (both replay as
+        no-ops). Cost is O(batch) per index per batch — the same
+        bounded at-ingest discipline as the LSH and IVF indexes.
 
         ``changelog_format``: 'parquet' (native columnar tail) or
         'debezium'/'maxwell' — JSON-envelope files in the same
@@ -127,11 +140,63 @@ class CDCPipeline:
 
         self.quarantine = Quarantine(spark, quarantine_dir) if quarantine_dir else None
         self.invalid_when = invalid_when
-        # replay-detection set: O(snapshots) once at startup, O(1) per batch
+        self.indexes = dict(indexes or {})
+        for col in self.indexes:
+            if col not in table.schema().fieldNames():
+                raise ValueError(f"indexed column {col!r} not in table schema")
+        # replay-detection sets: O(snapshots) once at startup, O(1) per batch
         self._committed = self.table.committed_batch_ids()
+        self._index_committed = {
+            col: ix.committed_batch_ids() for col, ix in self.indexes.items()
+        }
         # mor skew-split hint: previous batch's per-bucket winner rows
         # (AQE-style stat reuse; sizing only, never correctness)
         self._bucket_rows_hint: dict[int, int] | None = None
+
+    def _read_clean_batch(self, batch, write_quarantine: bool):
+        """Read a planned batch and apply the corrupt-envelope and
+        quarantine contracts; returns (valid-rows df, n_quarantined).
+        ``write_quarantine=False`` filters invalid rows WITHOUT writing
+        them to the dead-letter channel — the index-recovery replay path,
+        where the original run already quarantined them."""
+        df = self.reader.read_batch(batch)
+        # Envelope formats flag undecodable rows instead of dropping
+        # them (sources/envelope.py). They must never reach the
+        # merge: null key/lsn would corrupt LWW resolution.
+        has_corrupt_flag = "_corrupt" in df.columns
+        n_quarantined = 0
+        if has_corrupt_flag and self.quarantine is None:
+            if not df.where(F.col("_corrupt")).isEmpty():
+                raise ValueError(
+                    f"batch {batch.batch_id} contains corrupt envelopes "
+                    "and no quarantine_dir is configured — refusing to "
+                    "merge (configure quarantine_dir to dead-letter them)"
+                )
+            df = df.drop("_corrupt")
+        if self.quarantine is not None:
+            from .quarantine import Quarantine as _Q
+            from .quarantine import invalid_reason
+
+            reason = invalid_reason(
+                self.table.merge_keys, "lsn", extra=self.invalid_when
+            )
+            if has_corrupt_flag:
+                # corrupt outranks the null-key/null-lsn rules: the
+                # row wasn't malformed data, it never parsed at all
+                reason = F.when(
+                    F.col("_corrupt"),
+                    F.lit("corrupt envelope: unparseable or missing op"),
+                ).otherwise(reason)
+            if write_quarantine:
+                bad = df.where(reason.isNotNull()).withColumn(_Q.REASON_COL, reason)
+                n_quarantined = self.quarantine.write(bad, batch.batch_id)
+                if n_quarantined:
+                    df = df.where(reason.isNull())
+            else:
+                df = df.where(reason.isNull())
+            if has_corrupt_flag:
+                df = df.drop("_corrupt")
+        return df, n_quarantined
 
     def run_once(self) -> BatchResult | None:
         """Apply the next micro-batch; None if fully caught up."""
@@ -149,40 +214,9 @@ class CDCPipeline:
         )
         stats: MergeStats | None = None
         n_quarantined = 0
+        df = None
         if not replayed:
-            df = self.reader.read_batch(batch)
-            # Envelope formats flag undecodable rows instead of dropping
-            # them (sources/envelope.py). They must never reach the
-            # merge: null key/lsn would corrupt LWW resolution.
-            has_corrupt_flag = "_corrupt" in df.columns
-            if has_corrupt_flag and self.quarantine is None:
-                if not df.where(F.col("_corrupt")).isEmpty():
-                    raise ValueError(
-                        f"batch {batch.batch_id} contains corrupt envelopes "
-                        "and no quarantine_dir is configured — refusing to "
-                        "merge (configure quarantine_dir to dead-letter them)"
-                    )
-                df = df.drop("_corrupt")
-            if self.quarantine is not None:
-                from .quarantine import Quarantine as _Q
-                from .quarantine import invalid_reason
-
-                reason = invalid_reason(
-                    self.table.merge_keys, "lsn", extra=self.invalid_when
-                )
-                if has_corrupt_flag:
-                    # corrupt outranks the null-key/null-lsn rules: the
-                    # row wasn't malformed data, it never parsed at all
-                    reason = F.when(
-                        F.col("_corrupt"),
-                        F.lit("corrupt envelope: unparseable or missing op"),
-                    ).otherwise(reason)
-                bad = df.where(reason.isNotNull()).withColumn(_Q.REASON_COL, reason)
-                n_quarantined = self.quarantine.write(bad, batch.batch_id)
-                if n_quarantined:
-                    df = df.where(reason.isNull())
-                if has_corrupt_flag:
-                    df = df.drop("_corrupt")
+            df, n_quarantined = self._read_clean_batch(batch, write_quarantine=True)
             common = dict(
                 op_col="op" if "op" in df.columns else None,
                 batch_id=batch.batch_id,
@@ -227,6 +261,21 @@ class CDCPipeline:
                     keep_last=self.keep_snapshots,
                     orphan_grace_sec=self.orphan_grace_sec,
                 )
+        # secondary-index maintenance: exactly-once per (batch, index),
+        # OUTSIDE the replay guard — a crash between the base commit and
+        # an index commit replays the batch with the base as a no-op,
+        # and only the missing index appends run
+        if self.indexes:
+            from ..operators.secondary_index import index_append
+
+            for col, idx in self.indexes.items():
+                ib = f"{batch.batch_id}:ix:{col}"
+                if ib in self._index_committed[col]:
+                    continue
+                if df is None:
+                    df, _ = self._read_clean_batch(batch, write_quarantine=False)
+                index_append(idx, self.table, df, col, batch_id=ib)
+                self._index_committed[col].add(ib)
         self._committed.add(batch.batch_id)
 
         state.offsets = batch.offsets_after

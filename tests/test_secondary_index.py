@@ -144,3 +144,109 @@ def test_create_index_rejects_unknown_column(spark, base_and_index, tmpdir_path)
     t, _ = base_and_index
     with pytest.raises(ValueError, match="not in base schema"):
         sx.create_index(spark, os.path.join(tmpdir_path, "x"), t, "nope")
+
+
+# ---------------------------------------------------------- at-ingest wiring
+
+def _mk_pipeline(spark, root, idx=None, **kw):
+    import os as _os
+    from ds_floodexposure_monitoring_spark.datagen.transcripts import (
+        ChangeLogSpec, generate_changelog, transcript_schema,
+    )
+    from ds_floodexposure_monitoring_spark.streaming.runner import CDCPipeline
+
+    cdir, tdir = _os.path.join(root, "log"), _os.path.join(root, "tbl")
+    if not _os.path.exists(cdir):
+        generate_changelog(spark, ChangeLogSpec(
+            n_events=6_000, n_convs=120, n_shards=2, dup_rate=0.1,
+            delete_rate=0.05, ooo_window=300, events_per_file=1_500, seed=23,
+        ), cdir)
+    try:
+        t = LakeTable.create(spark, tdir, transcript_schema(), n_buckets=4)
+    except FileExistsError:
+        t = LakeTable.load(spark, tdir)
+    if idx is None:
+        idx = sx.create_index(spark, _os.path.join(root, "ix"), t, "role",
+                              n_buckets=4)
+    p = CDCPipeline(spark, cdir, t, _os.path.join(root, "ck"),
+                    max_events_per_batch=2_000, mode="mor",
+                    indexes={"role": idx}, **kw)
+    return p, t, idx
+
+
+def _assert_index_consistent(t, idx):
+    roles = [r[0] for r in t.scan().select("role").distinct().collect()
+             if r[0] is not None]
+    assert roles
+    for v in roles:
+        want = sorted((r.conv_id, r.turn_idx) for r in
+                      t.scan().where(F.col("role") == v).collect())
+        got = sorted((r.conv_id, r.turn_idx) for r in
+                     sx.lookup(idx, t, "role", [v]).collect())
+        assert got == want, (v, len(got), len(want))
+
+
+def test_pipeline_maintains_index_at_ingest(spark, tmpdir_path):
+    p, t, idx = _mk_pipeline(spark, tmpdir_path)
+    p.run_until_caught_up()
+    assert idx.version > 0
+    _assert_index_consistent(t, idx)
+
+
+def test_pipeline_index_crash_window_converges(spark, tmpdir_path):
+    """Crash after the base commit but before the index commit: the
+    batch replays with the base as a no-op and only the index append
+    runs — final state identical to the no-crash run."""
+    p, t, idx = _mk_pipeline(spark, tmpdir_path)
+    r1 = p.run_once()
+    assert r1 is not None and not r1.replayed
+    # simulate the crash window: batch 2 merges into the BASE only
+    # (as if we died before the index append), and no checkpoint lands
+    state = p.ckpt.read()
+    batch = p.reader.plan_batch(state.offsets, state.batch_seq + 1)
+    df, _ = p._read_clean_batch(batch, write_quarantine=True)
+    merge_append(t, df, op_col="op", batch_id=batch.batch_id)
+    # restart: a fresh pipeline must replay batch 2 as a base no-op
+    # (stats None), run its missing index append, and keep going
+    p2, t2, idx2 = _mk_pipeline(spark, tmpdir_path, idx=idx)
+    results = p2.run_until_caught_up()
+    replay = results[0]
+    assert replay.replayed and replay.batch.batch_id == batch.batch_id
+    assert replay.stats is None  # base merge was NOT repeated
+    _assert_index_consistent(t2, idx2)
+
+
+def test_index_backfill_then_incremental(spark, tmpdir_path):
+    """Enable an index on a table that already has data: backfill once,
+    then at-ingest maintenance takes over; lookup == full-scan filter."""
+    import os as _os
+    from ds_floodexposure_monitoring_spark.streaming.runner import CDCPipeline
+
+    # phase 1: ingest WITHOUT any index
+    p, t, _ = _mk_pipeline(spark, tmpdir_path)
+    p0 = CDCPipeline(spark, _os.path.join(tmpdir_path, "log"), t,
+                     _os.path.join(tmpdir_path, "ck"),
+                     max_events_per_batch=2_000, mode="mor")
+    p0.run_once()
+    # phase 2: create + backfill, then finish ingest WITH the index
+    idx = sx.create_index(spark, _os.path.join(tmpdir_path, "ix2"), t,
+                          "role", n_buckets=4)
+    assert sx.index_backfill(idx, t, "role") is not None
+    # re-running the backfill is a ledger no-op
+    assert sx.index_backfill(idx, t, "role") is None
+    p1 = CDCPipeline(spark, _os.path.join(tmpdir_path, "log"), t,
+                     _os.path.join(tmpdir_path, "ck"),
+                     max_events_per_batch=2_000, mode="mor",
+                     indexes={"role": idx})
+    p1.run_until_caught_up()
+    _assert_index_consistent(t, idx)
+
+
+def test_pipeline_rejects_unknown_index_column(spark, tmpdir_path):
+    from ds_floodexposure_monitoring_spark.streaming.runner import CDCPipeline
+
+    p, t, idx = _mk_pipeline(spark, tmpdir_path)
+    with pytest.raises(ValueError, match="not in table schema"):
+        CDCPipeline(spark, os.path.join(tmpdir_path, "log"), t,
+                    os.path.join(tmpdir_path, "ck2"),
+                    indexes={"nope": idx})
