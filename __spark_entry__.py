@@ -82,6 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
+    "metadata_sum",
     "secondary_index_lookup",
     "debezium_decode_lww",
     "maxwell_decode_state",
@@ -96,7 +97,7 @@ _CHECK_PRIORITY = (
     "clone_divergence",
     "lake_partial_update_merge",
     # missed the round-4 window (driver union must stay 100%: these 33
-    # + the 13 above + flagship = 47 of the 50-query window; the
+    # + the 14 above + flagship = 48 of the 50-query window; the
     # remaining slots backfill round-4-checked queries)
     "semi_join_members",
     "zonal_rollup",

@@ -1089,6 +1089,88 @@ def metadata_minmax(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([b], "min_ts timestamp, max_ts timestamp")
 
 
+def _staged_docs_sum_table_shared(spark: SparkSession, sf: str):
+    """Memoized resolved lake table of (doc_id, n_chars) from the
+    documents corpus, with ``n_chars`` as an integral stat col so the
+    writer's streaming ``col_sums`` accumulate — the SUM-pushdown
+    scaffold. Staged in 3 hash-split merge_append batches + a major
+    compaction; read-only afterwards (``_STAGED_CACHE`` discipline)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.compact import compact, merge_append
+    from ..sources.lake import LakeTable
+
+    per = _STAGED_CACHE.get(spark)
+    if per is None:
+        per = _STAGED_CACHE[spark] = {}
+    key = ("docsum", sf)
+    hit = per.get(key)
+    if hit is not None:
+        t, ver = hit
+        if t.version == ver:
+            return t
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-docsum-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(
+        spark,
+        os.path.join(root, "t"),
+        T.StructType([
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_chars", T.IntegerType(), True),
+        ]),
+        merge_keys=("doc_id",),
+        n_buckets=4,
+        stat_cols=("n_chars",),
+    )
+    d = table(spark, sf, "documents").select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.lit(1).cast("long").alias("lsn"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(3)).alias("_slice"),
+    )
+    for i in range(3):
+        merge_append(t, d.where(F.col("_slice") == i).drop("_slice"),
+                     batch_id=f"docsum-{i}")
+    compact(t, min_files_per_bucket=1)
+    per[key] = (t, t.version)
+    return t
+
+
+@_reg(
+    "metadata_sum",
+    """
+    SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    """,
+    note="SUM aggregate pushdown to manifests (the ADDITIVE sibling of "
+         "metadata_live_count/metadata_minmax; Iceberg/Trino stats-based "
+         "aggregate family): the writer accumulates exact per-file "
+         "[sum, non_null] for INTEGRAL stat cols streaming over its "
+         "Arrow batches (zero extra I/O — parquet footers store no "
+         "sums), and on a resolved tombstone-free snapshot the corpus "
+         "character count is the fold of those entries — ZERO data-file "
+         "I/O, O(files) driver time, python-int exact. Float columns "
+         "are refused (order-dependent addition could differ from a "
+         "scan in the last ulp). At 100 TB this is 'how many tokens is "
+         "the corpus' without touching a data file. The query RAISES if "
+         "the metadata path is lost rather than silently scanning "
+         "(sources/lake.py col_sum)",
+)
+def metadata_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Total corpus characters + live doc count from manifests alone."""
+    t = _staged_docs_sum_table_shared(spark, sf)
+    s = t.col_sum("n_chars")
+    n = t.count_rows()
+    assert s is not None and n is not None, "metadata SUM path lost"
+    return spark.createDataFrame([(s, n)], "total_chars long, n_docs long")
+
+
 @_reg(
     "partition_evolution_scan",
     """

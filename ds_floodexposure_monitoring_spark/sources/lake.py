@@ -126,6 +126,14 @@ class DataFile:
     # only when the table sets key_bloom_bits and the key is a string
     # or integral column; None = never skipped by bloom.
     key_bloom: str | None = None
+    # exact per-column [sum, non_null_count] over this file's stored
+    # rows, for INTEGRAL stat_cols only (float addition is order-
+    # dependent, so a metadata fold could differ from a scan in the
+    # last ulp; integer sums are exact and overflow-free driver-side).
+    # Drives SUM aggregate pushdown (col_sum) — the additive sibling of
+    # col_stats min/max. None / missing column = unknown (legacy files,
+    # non-integral or footer-derived entries) — consumers fall back.
+    col_sums: dict | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -148,6 +156,8 @@ class DataFile:
             d["tombstones"] = self.tombstones
         if self.key_bloom:
             d["key_bloom"] = self.key_bloom
+        if self.col_sums:
+            d["col_sums"] = self.col_sums
         return d
 
     @staticmethod
@@ -159,6 +169,7 @@ class DataFile:
             d.get("spec_id", 0 if d.get("part") is not None else None),
             d.get("tombstones"),
             d.get("key_bloom"),
+            d.get("col_sums"),
         )
 
 
@@ -830,6 +841,7 @@ def _make_task_writer(
                         if st.get("bloom") is not None
                         else None
                     ),
+                    "col_sums": st["sums"] or None,
                 }
             )
 
@@ -877,8 +889,17 @@ def _make_task_writer(
                 i = sub.schema.get_field_index(c)
                 if i < 0:
                     continue
+                col = sub.column(i)
+                if c != key0 and pa.types.is_integer(col.type):
+                    # exact additive stats for SUM pushdown: python-int
+                    # accumulation, no overflow; all-null batch adds
+                    # (0, 0) but still proves the entry
+                    s = st["sums"].setdefault(c, [0, 0])
+                    v = pc.sum(col).as_py()
+                    s[0] += int(v or 0)
+                    s[1] += len(col) - col.null_count
                 try:
-                    mm = pc.min_max(sub.column(i))
+                    mm = pc.min_max(col)
                 except pa.ArrowNotImplementedError:
                     continue  # un-orderable type: bounds stay None
                 lo, hi = mm["min"].as_py(), mm["max"].as_py()
@@ -918,6 +939,10 @@ def _make_task_writer(
                 "rows": 0,
                 "tomb": 0,
                 "bounds": {c: None for c in [key0] + stat_cols},
+                # per-stat-col [sum, non_null] over stored rows; entry
+                # materializes on the first INTEGER-typed observation
+                # (float sums are order-dependent — never recorded)
+                "sums": {},
                 "bloom": (
                     _np.zeros(key_bloom_bits >> 3, dtype=_np.uint8)
                     if key_bloom_bits
@@ -1350,6 +1375,55 @@ class LakeTable:
                 _EPOCH + datetime.timedelta(microseconds=hi),
             )
         return lo, hi
+
+    def col_sum(self, col: str, version: int | None = None):
+        """SUM aggregate pushdown to metadata — the ADDITIVE sibling of
+        ``col_bounds``/``count_rows``: on a resolved snapshot with zero
+        tombstones, SUM over an integral stat-tracked column is the fold
+        of the per-file ``col_sums`` entries the writer accumulated
+        streaming over its Arrow batches — zero data I/O, O(files)
+        driver time, exact (python-int accumulation, no overflow).
+        Returns the sum, or ``None`` whenever metadata cannot PROVE it:
+        unresolved MOR deltas, tombstoned rows, any file without a
+        proven entry for the column (legacy manifests, files written
+        before the column existed, footer-derived entries), a
+        partial-update merge engine (stored cell ≠ resolved cell), or
+        zero non-null values anywhere (SQL ``SUM`` is NULL there — the
+        scan fallback agrees). Restricted to INTEGRAL columns: float
+        addition is order-dependent, so a metadata fold could disagree
+        with a scan in the last ulp; an integer fold cannot."""
+        field = next(
+            (x for x in self.schema().fields if x.name == col), None
+        )
+        if field is None:
+            raise ValueError(f"unknown column {col!r}")
+        if not isinstance(
+            field.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"col_sum supports integral columns; {col!r} is "
+                f"{field.dataType.simpleString()} (float sums are "
+                "order-dependent — a metadata fold could differ from a "
+                "scan in the last ulp)"
+            )
+        snap = self.current() if version is None else self.snapshot(version)
+        if snap.get("requires_resolve", False):
+            return None
+        if snap.get("merge_engine", "lww") == "partial-update":
+            return None  # stored cells fold per-field at resolve
+        fs = self.files(snap)
+        if not fs:
+            return None
+        total, non_null = 0, 0
+        for f in fs:
+            if f.tombstones is None or f.tombstones > 0:
+                return None
+            entry = (f.col_sums or {}).get(col)
+            if entry is None:
+                return None
+            total += int(entry[0])
+            non_null += int(entry[1])
+        return total if non_null else None
 
     def bucket_expr(self, key_col: str | None = None) -> F.Column:
         """bucket = pmod(xxhash64(first merge key[, seed]), n_buckets)."""
