@@ -96,6 +96,12 @@ def cmd_ingest(args) -> int:
         )
     if args.branch:
         table = table.on_branch(args.branch)
+    indexes = {}
+    for spec in args.index or ():
+        col, _, ipath = spec.partition("=")
+        if not ipath:
+            raise SystemExit(f"--index expects col=path, got {spec!r}")
+        indexes[col] = _load_or_create_index(spark, ipath, table, col)
     pipe = CDCPipeline(
         spark,
         args.log_dir,
@@ -113,6 +119,7 @@ def cmd_ingest(args) -> int:
         keep_snapshots=args.keep_snapshots,
         orphan_grace_sec=args.orphan_grace_sec,
         quarantine_dir=args.quarantine_dir,
+        indexes=indexes or None,
         changelog_format=args.log_format,
         # widest payload for envelope decode: an explicit --schema-json
         # wins (lets a declared future column evolve in mid-stream);
@@ -275,6 +282,54 @@ def cmd_rollback(args) -> int:
         "op": "rollback", "table_dir": args.table_dir,
         "rolled_back_to": args.to_version, "new_version": snap["version"],
         "rows": snap["summary"]["total_rows"],
+    })
+    return 0
+
+
+def _load_or_create_index(spark, ipath, table, col):
+    from .operators import secondary_index as sx
+    from .sources.lake import LakeTable
+
+    if LakeTable.exists(ipath):
+        return LakeTable.load(spark, ipath)
+    return sx.create_index(spark, ipath, table, col)
+
+
+def cmd_index(args) -> int:
+    from .operators import secondary_index as sx
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-index")
+    table = LakeTable.load(spark, args.table_dir)
+    if args.action == "create":
+        idx = _load_or_create_index(spark, args.index_dir, table, args.column)
+        out = {"op": "index-create", "index_dir": args.index_dir,
+               "column": args.column, "version": idx.version}
+        if args.backfill:
+            sx.index_backfill(idx, table, args.column)
+            out["backfilled_to_version"] = table.version
+            out["version"] = idx.version
+        _emit(out)
+        return 0
+    # lookup: values parsed to the indexed column's python type
+    if not args.values:
+        raise SystemExit("index lookup requires --values v1,v2,...")
+    idx = LakeTable.load(spark, args.index_dir)
+    ftype = table.schema()[args.column].dataType.simpleString()
+    conv = int if ftype in ("tinyint", "smallint", "int", "bigint") else (
+        float if ftype in ("float", "double") else str
+    )
+    values = [conv(v) for v in args.values.split(",")]
+    rows = sx.lookup(idx, table, args.column, values)
+    n = rows.count()
+    _emit({
+        "op": "index-lookup", "column": args.column, "values": values,
+        "rows": n,
+        "sample": [
+            {k: (v if isinstance(v, (int, float, str, bool, type(None)))
+                 else str(v)) for k, v in r.asDict().items()}
+            for r in rows.limit(5).collect()
+        ] if args.sample else None,
     })
     return 0
 
@@ -466,7 +521,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "JSON envelope files decoded via sources/envelope.py "
                         "(payload schema = the table schema; pass "
                         "--schema-json on first ingest if it differs)")
+    i.add_argument("--index", action="append", default=None, metavar="COL=PATH",
+                   help="maintain a secondary index on COL at PATH during "
+                        "ingest (repeatable; created on first use, exactly-"
+                        "once per batch — operators/secondary_index.py)")
     i.set_defaults(fn=cmd_ingest)
+
+    ix = sub.add_parser("index", help="secondary index on a non-key column: "
+                        "create/backfill, or prune-then-verify lookup")
+    _add_common(ix)
+    ix.add_argument("action", choices=("create", "lookup"))
+    ix.add_argument("--table-dir", required=True)
+    ix.add_argument("--index-dir", required=True)
+    ix.add_argument("--column", required=True)
+    ix.add_argument("--backfill", action="store_true",
+                    help="(create) index the table's current state in one "
+                         "O(table) pass — for enabling an index on a table "
+                         "that already has data")
+    ix.add_argument("--values", default=None,
+                    help="(lookup) comma-separated values, parsed to the "
+                         "column's type")
+    ix.add_argument("--sample", action="store_true",
+                    help="(lookup) include up to 5 matched rows in the JSON")
+    ix.set_defaults(fn=cmd_index)
 
     c = sub.add_parser("compact", help="fold MOR delta files into base files")
     _add_common(c)

@@ -189,3 +189,37 @@ def test_cli_envelope_ingest(spark, tmpdir_path, capsys):
                       "--quarantine-dir", f"{tmpdir_path}/q"])
     assert b["final_rows"] == a["final_rows"] > 0
     assert b["batches"] == a["batches"]
+
+
+def test_cli_index_lifecycle(spark, tmpdir_path, capsys):
+    """ingest --index maintains a secondary index transactionally;
+    `index lookup` answers from it; `index create --backfill` enables an
+    index on a table that already has data."""
+    log = f"{tmpdir_path}/log"
+    table = f"{tmpdir_path}/t"
+    ckpt = f"{tmpdir_path}/ck"
+    ix = f"{tmpdir_path}/ix"
+
+    _run(capsys, ["datagen", "--log-dir", log, "--events", "8000",
+                  "--shards", "2", "--seed", "9"])
+    i1 = _run(capsys, ["ingest", "--log-dir", log, "--table-dir", table,
+                       "--checkpoint-dir", ckpt, "--mode", "mor",
+                       "--batch-events", "3000", "--n-buckets", "4",
+                       "--index", f"role={ix}"])
+    assert i1["batches"] >= 2
+    lk = _run(capsys, ["index", "lookup", "--table-dir", table,
+                       "--index-dir", ix, "--column", "role",
+                       "--values", "user", "--sample"])
+    assert lk["rows"] > 0 and len(lk["sample"]) > 0
+    assert all(r["role"] == "user" for r in lk["sample"])
+
+    # enable-on-existing: a second index via create --backfill answers
+    # identically for the same probe
+    ix2 = f"{tmpdir_path}/ix2"
+    c = _run(capsys, ["index", "create", "--table-dir", table,
+                      "--index-dir", ix2, "--column", "role", "--backfill"])
+    assert c["version"] >= 1
+    lk2 = _run(capsys, ["index", "lookup", "--table-dir", table,
+                        "--index-dir", ix2, "--column", "role",
+                        "--values", "user"])
+    assert lk2["rows"] == lk["rows"]
