@@ -83,6 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
     "metadata_sum",
+    "partition_sums_metadata",
     "secondary_index_lookup",
     "debezium_decode_lww",
     "maxwell_decode_state",
@@ -97,8 +98,8 @@ _CHECK_PRIORITY = (
     "clone_divergence",
     "lake_partial_update_merge",
     # missed the round-4 window (driver union must stay 100%: these 33
-    # + the 14 above + flagship = 48 of the 50-query window; the
-    # remaining slots backfill round-4-checked queries)
+    # + the 15 above + flagship = 49 of the 50-query window; the
+    # remaining slot backfills a round-4-checked query)
     "semi_join_members",
     "zonal_rollup",
     "hierarchy_rollup",

@@ -82,6 +82,9 @@ HEADLINE = [
     "multimodal_decode",
     "debezium_decode_lww",
     "maxwell_decode_state",
+    "secondary_index_lookup",
+    "metadata_sum",
+    "partition_sums_metadata",
 ]
 
 # sf0.1 -> 16M events: the same production-size-batch regime as

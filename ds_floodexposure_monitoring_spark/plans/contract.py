@@ -1089,12 +1089,16 @@ def metadata_minmax(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([b], "min_ts timestamp, max_ts timestamp")
 
 
-def _staged_docs_sum_table_shared(spark: SparkSession, sf: str):
-    """Memoized resolved lake table of (doc_id, n_chars) from the
-    documents corpus, with ``n_chars`` as an integral stat col so the
-    writer's streaming ``col_sums`` accumulate — the SUM-pushdown
-    scaffold. Staged in 3 hash-split merge_append batches + a major
-    compaction; read-only afterwards (``_STAGED_CACHE`` discipline)."""
+def _staged_docs_sum_table_shared(
+    spark: SparkSession, sf: str, partitioned: bool = False
+):
+    """Memoized resolved lake table of (doc_id[, lang], n_chars) from
+    the documents corpus, with ``n_chars`` as an integral stat col so
+    the writer's streaming ``col_sums`` accumulate — the SUM-pushdown
+    scaffold. ``partitioned`` adds identity(lang) value-partitioning for
+    the per-partition fold. Staged in 3 hash-split merge_append batches
+    + a major compaction; read-only afterwards (``_STAGED_CACHE``
+    discipline)."""
     import hashlib
     import shutil
     import tempfile
@@ -1107,35 +1111,41 @@ def _staged_docs_sum_table_shared(spark: SparkSession, sf: str):
     per = _STAGED_CACHE.get(spark)
     if per is None:
         per = _STAGED_CACHE[spark] = {}
-    key = ("docsum", sf)
+    key = ("docsum", sf, partitioned)
     hit = per.get(key)
     if hit is not None:
         t, ver = hit
         if t.version == ver:
             return t
+    tag = "docsump" if partitioned else "docsum"
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-docsum-{h}")
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-{tag}-{h}")
     shutil.rmtree(root, ignore_errors=True)
+    fields = [T.StructField("doc_id", T.LongType(), False)]
+    if partitioned:
+        fields.append(T.StructField("lang", T.StringType(), True))
+    fields.append(T.StructField("n_chars", T.IntegerType(), True))
     t = LakeTable.create(
         spark,
         os.path.join(root, "t"),
-        T.StructType([
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("n_chars", T.IntegerType(), True),
-        ]),
+        T.StructType(fields),
         merge_keys=("doc_id",),
         n_buckets=4,
         stat_cols=("n_chars",),
+        partition_by="lang" if partitioned else None,
     )
-    d = table(spark, sf, "documents").select(
-        "doc_id",
+    cols = [F.col("doc_id")]
+    if partitioned:
+        cols.append(F.col("lang"))
+    cols += [
         F.length("text").cast("int").alias("n_chars"),
         F.lit(1).cast("long").alias("lsn"),
         F.pmod(F.xxhash64("doc_id"), F.lit(3)).alias("_slice"),
-    )
+    ]
+    d = table(spark, sf, "documents").select(*cols)
     for i in range(3):
         merge_append(t, d.where(F.col("_slice") == i).drop("_slice"),
-                     batch_id=f"docsum-{i}")
+                     batch_id=f"{tag}-{i}")
     compact(t, min_files_per_bucket=1)
     per[key] = (t, t.version)
     return t
@@ -1169,6 +1179,37 @@ def metadata_sum(spark: SparkSession, sf: str) -> DataFrame:
     n = t.count_rows()
     assert s is not None and n is not None, "metadata SUM path lost"
     return spark.createDataFrame([(s, n)], "total_chars long, n_docs long")
+
+
+@_reg(
+    "partition_sums_metadata",
+    """
+    SELECT lang,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    note="Per-partition SUM fold from manifests alone (col_sum GROUP BY "
+         "partition value — the additive completion of the partitions "
+         "metadata-table family: partition_row_counts gave counts, this "
+         "gives sums): on the identity(lang)-partitioned resolved "
+         "scaffold every file belongs to exactly one lang, so 'how many "
+         "characters of German' is a driver-side dict fold over "
+         "DataFile.col_sums — zero data-file I/O at any corpus size; "
+         "the per-lang doc counts ride partition_row_counts the same "
+         "way. Sound under the union of both guard sets; RAISES if the "
+         "metadata path is lost (sources/lake.py partition_col_sums)",
+)
+def partition_sums_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus character + doc counts from manifests alone."""
+    t = _staged_docs_sum_table_shared(spark, sf, partitioned=True)
+    sums = t.partition_col_sums("n_chars")
+    counts = t.partition_row_counts()
+    assert sums is not None and counts is not None, "metadata path lost"
+    rows = [(p, s, counts.get(p, 0)) for p, s in sums.items()]
+    return spark.createDataFrame(
+        rows, "lang string, total_chars long, n_docs long"
+    )
 
 
 @_reg(

@@ -1317,6 +1317,56 @@ class LakeTable:
             out[f.part] = out.get(f.part, 0) + f.rows - f.tombstones
         return {p: n for p, n in out.items() if n > 0}
 
+    def partition_col_sums(self, col: str, version: int | None = None):
+        """Per-partition SUM fold from manifests alone — ``col_sum``
+        grouped by partition value (the GROUP BY analog, like
+        ``partition_row_counts`` is to ``count_rows``): zero data I/O,
+        O(files) driver time, python-int exact. "Tokens per language"
+        over a lang-partitioned corpus without opening a data file.
+
+        Returns ``{part: sum}`` (a partition with zero non-null values
+        maps to ``None`` — SQL SUM over that group), or ``None``
+        whenever metadata cannot PROVE the answer, under the UNION of
+        the ``partition_row_counts`` guards (unresolved MOR, unknown
+        tombstone counts, unpartitioned or multi-spec files) and the
+        ``col_sum`` guards (integral column only, any tombstoned rows,
+        any file without a proven entry, partial-update engine)."""
+        field = next(
+            (x for x in self.schema().fields if x.name == col), None
+        )
+        if field is None:
+            raise ValueError(f"unknown column {col!r}")
+        if not isinstance(
+            field.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"partition_col_sums supports integral columns; {col!r} is "
+                f"{field.dataType.simpleString()}"
+            )
+        snap = self.current() if version is None else self.snapshot(version)
+        if snap.get("requires_resolve", False):
+            return None
+        if snap.get("merge_engine", "lww") == "partial-update":
+            return None
+        fs = self.files(snap)
+        if not fs:
+            return None
+        if any(f.part is None or f.spec_id is None for f in fs):
+            return None
+        if len({f.spec_id for f in fs}) > 1:
+            return None
+        sums: dict = {}
+        nn: dict = {}
+        for f in fs:
+            if f.tombstones is None or f.tombstones > 0:
+                return None
+            entry = (f.col_sums or {}).get(col)
+            if entry is None:
+                return None
+            sums[f.part] = sums.get(f.part, 0) + int(entry[0])
+            nn[f.part] = nn.get(f.part, 0) + int(entry[1])
+        return {p: (sums[p] if nn[p] else None) for p in sums}
+
     def col_bounds(self, col: str, version: int | None = None):
         """MIN/MAX aggregate pushdown to metadata (the Iceberg/Trino
         stats-based min/max answer, the sibling of ``count_rows``): on

@@ -36,13 +36,21 @@ def stream_changelog_into(
     schema: T.StructType,
     checkpoint_dir: str,
     max_files_per_trigger: int = 8,
+    indexes: dict[str, LakeTable] | None = None,
 ):
     """Start a streaming MERGE of changelog files into the lake table.
 
     Returns the StreamingQuery; callers use ``processAllAvailable()``
     (tests / availableNow semantics) or leave it running.
+
+    ``indexes``: secondary indexes maintained per epoch (column →
+    postings lake table; see streaming/runner.py ``indexes=`` for the
+    exactly-once contract) — each index append runs under its own
+    ledger id, so a crash between the base commit and an index commit
+    converges when the epoch replays.
     """
     run_id = uuid.uuid4().hex[:8]
+    idx_map = dict(indexes or {})
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -51,14 +59,20 @@ def stream_changelog_into(
 
     def apply_batch(df: DataFrame, epoch_id: int) -> None:
         batch_id = f"stream-{run_id}-{epoch_id}"
-        if batch_id in table.committed_batch_ids():
-            return  # replayed epoch — already applied
-        merge_into(
-            table,
-            df,
-            op_col="op" if "op" in df.columns else None,
-            batch_id=batch_id,
-        )
+        if batch_id not in table.committed_batch_ids():
+            merge_into(
+                table,
+                df,
+                op_col="op" if "op" in df.columns else None,
+                batch_id=batch_id,
+            )
+        if idx_map:
+            from ..operators.secondary_index import index_append
+
+            for col, ix in idx_map.items():
+                # index_append's own ledger makes this a no-op when the
+                # epoch already indexed this column
+                index_append(ix, table, df, col, batch_id=f"{batch_id}:ix:{col}")
 
     return (
         src.writeStream.foreachBatch(apply_batch)

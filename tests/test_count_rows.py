@@ -243,3 +243,38 @@ def test_col_sum_none_on_legacy_manifest(spark, sum_table):
         assert sum_table.col_sum("turn_idx") is None
     finally:
         sum_table.files = orig
+
+
+def test_partition_col_sums(spark, tmpdir_path):
+    """Per-partition SUM fold: exact vs GROUP BY scan on an identity-
+    partitioned resolved table; None under MOR / unpartitioned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "ps"),
+        T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("g", T.StringType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]),
+        merge_keys=("k",), n_buckets=4, stat_cols=("v",), partition_by="g",
+    )
+    rows = [(i, f"g{i % 3}", i if i % 7 else None, 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, g string, v int, lsn long")
+    merge_append(t, df, batch_id="b1")
+    assert t.partition_col_sums("v") is None  # unresolved MOR
+    compact(t, min_files_per_bucket=1)
+    got = t.partition_col_sums("v")
+    want = {
+        r["g"]: r["s"]
+        for r in t.scan().groupBy("g").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="integral"):
+        t.partition_col_sums("g")
+
+
+def test_partition_col_sums_none_on_unpartitioned(spark, sum_table):
+    merge_into(sum_table, _rows(spark, 0, 50), op_col="op", batch_id="b1")
+    assert sum_table.partition_col_sums("turn_idx") is None

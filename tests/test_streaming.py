@@ -71,3 +71,42 @@ def test_windowed_counts_sync(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"win_start", "event_type", "n", "total"} == set(df.columns)
+
+
+def test_streaming_merge_maintains_index(spark, tmpdir_path):
+    """`stream_changelog_into(indexes=...)` keeps the secondary index
+    consistent with the final state across epochs."""
+    from pyspark.sql import functions as F
+
+    from ds_floodexposure_monitoring_spark.operators import secondary_index as sx
+
+    changelog = os.path.join(tmpdir_path, "log")
+    generate_changelog(spark, SPEC, changelog)
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), transcript_schema(), n_buckets=8
+    )
+    idx = sx.create_index(
+        spark, os.path.join(tmpdir_path, "ix"), table, "role", n_buckets=4
+    )
+    sample = glob.glob(os.path.join(changelog, "shard=*", "*.parquet"))[0]
+    schema = spark.read.parquet(sample).schema
+    q = stream_changelog_into(
+        spark,
+        os.path.join(changelog, "shard=*"),
+        table,
+        schema,
+        os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=3,
+        indexes={"role": idx},
+    )
+    q.awaitTermination(300)
+    assert idx.version > 1
+    roles = [r[0] for r in table.scan().select("role").distinct().collect()
+             if r[0] is not None]
+    assert roles
+    for v in roles:
+        want = sorted((r.conv_id, r.turn_idx) for r in
+                      table.scan().where(F.col("role") == v).collect())
+        got = sorted((r.conv_id, r.turn_idx) for r in
+                     sx.lookup(idx, table, "role", [v]).collect())
+        assert got == want, (v, len(got), len(want))
