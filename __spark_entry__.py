@@ -84,6 +84,7 @@ _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
     "metadata_sum",
     "partition_sums_metadata",
+    "change_feed_subscription",
     "secondary_index_lookup",
     "debezium_decode_lww",
     "maxwell_decode_state",
@@ -98,8 +99,7 @@ _CHECK_PRIORITY = (
     "clone_divergence",
     "lake_partial_update_merge",
     # missed the round-4 window (driver union must stay 100%: these 33
-    # + the 15 above + flagship = 49 of the 50-query window; the
-    # remaining slot backfills a round-4-checked query)
+    # + the 16 above + flagship = 50 of the 50-query window)
     "semi_join_members",
     "zonal_rollup",
     "hierarchy_rollup",

@@ -334,6 +334,49 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_feed(args) -> int:
+    from .sources.feed import FeedCursor
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-feed")
+    table = LakeTable.load(spark, args.table_dir)
+    cur = FeedCursor(args.cursor_dir, args.consumer)
+    if args.action == "position":
+        _emit({"op": "feed-position", "consumer": args.consumer,
+               "position": cur.position(), "head": table.version,
+               "consumers": FeedCursor.list_consumers(args.cursor_dir)})
+        return 0
+    if args.action == "reset":
+        if args.to_version is None:
+            raise SystemExit("feed reset requires --to-version")
+        cur.reset(args.to_version)
+        _emit({"op": "feed-reset", "consumer": args.consumer,
+               "position": args.to_version})
+        return 0
+    batch = cur.poll(table)
+    if batch is None:
+        _emit({"op": "feed-poll", "consumer": args.consumer,
+               "caught_up": True, "position": cur.position()})
+        return 0
+    n = batch.df.count()
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in batch.df.groupBy("change_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    if args.out_dir:
+        batch.df.write.mode("overwrite").parquet(args.out_dir)
+    if args.ack:
+        batch.ack()
+    _emit({
+        "op": "feed-poll", "consumer": args.consumer, "caught_up": False,
+        "from_version": batch.from_version, "to_version": batch.to_version,
+        "changes": n, "by_type": by_type, "acked": bool(args.ack),
+        "out_dir": args.out_dir,
+    })
+    return 0
+
+
 def cmd_clone(args) -> int:
     from .sources.lake import LakeTable
 
@@ -544,6 +587,23 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--sample", action="store_true",
                     help="(lookup) include up to 5 matched rows in the JSON")
     ix.set_defaults(fn=cmd_index)
+
+    fd = sub.add_parser("feed", help="durable change-feed subscription: "
+                        "poll the next change window, ack, inspect/reset "
+                        "consumer positions")
+    _add_common(fd)
+    fd.add_argument("action", choices=("poll", "position", "reset"))
+    fd.add_argument("--table-dir", required=True)
+    fd.add_argument("--cursor-dir", required=True)
+    fd.add_argument("--consumer", default="default")
+    fd.add_argument("--ack", action="store_true",
+                    help="(poll) acknowledge the window after writing it "
+                         "(advance the cursor)")
+    fd.add_argument("--out-dir", default=None,
+                    help="(poll) write the change window as parquet here")
+    fd.add_argument("--to-version", type=int, default=None,
+                    help="(reset) cursor position to set")
+    fd.set_defaults(fn=cmd_feed)
 
     c = sub.add_parser("compact", help="fold MOR delta files into base files")
     _add_common(c)

@@ -367,6 +367,60 @@ def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "change_feed_subscription",
+    """
+    WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),
+    b3 AS (
+      SELECT user_id, event_type, value, ts, event_id
+      FROM events, h WHERE event_id > cut
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    ),
+    prior AS (SELECT DISTINCT user_id, event_type FROM events, h WHERE event_id <= cut)
+    SELECT b3.user_id, b3.event_type, b3.value, b3.ts,
+           b3.event_id AS change_lsn,
+           CASE WHEN p.user_id IS NULL THEN 'insert' ELSE 'update' END AS change_type
+    FROM b3 LEFT JOIN prior p
+      ON b3.user_id = p.user_id AND b3.event_type = p.event_type
+    """,
+    note="durable change-feed SUBSCRIPTION (sources/feed.py FeedCursor — "
+         "the consumer-group analog, the pull twin of the Debezium "
+         "export): a per-consumer cursor file (fsync+rename atomic, "
+         "same discipline as table HEADs) advances ONLY on ack, so a "
+         "crashed consumer re-polls the identical window and falling "
+         "behind retention raises FeedLagError instead of silently "
+         "skipping; here the consumer resets to the post-batch-2 "
+         "snapshot, polls one window to head, acks, and a SECOND "
+         "cursor object (fresh process) must read position==head and "
+         "poll None — the oracle is the cdc_change_feed SQL verbatim, "
+         "so green proves the subscription delivers exactly the "
+         "snapshot-diff feed",
+)
+def change_feed_subscription(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.feed import FeedCursor
+
+    t, versions = _staged_events_table_shared(spark, sf)
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-feedcur-{h}")
+    shutil.rmtree(d, ignore_errors=True)
+    cur = FeedCursor(d, "subscriber")
+    cur.reset(versions[2])
+    batch = cur.poll(t, to_version=versions[3])
+    assert batch is not None
+    batch.ack()
+    # fresh-process check: a new cursor sees the acked position
+    cur2 = FeedCursor(d, "subscriber")
+    assert cur2.position() == versions[3]
+    assert cur2.poll(t, to_version=versions[3]) is None
+    return batch.df.select(
+        "user_id", "event_type", "value", "ts", "change_lsn", "change_type"
+    )
+
+
+@_reg(
     "cdc_feed_envelope_roundtrip",
     """
     WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),

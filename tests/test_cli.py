@@ -223,3 +223,35 @@ def test_cli_index_lifecycle(spark, tmpdir_path, capsys):
                         "--index-dir", ix2, "--column", "role",
                         "--values", "user"])
     assert lk2["rows"] == lk["rows"]
+
+
+def test_cli_feed_subscription(spark, tmpdir_path, capsys):
+    """feed poll/ack/position through the CLI: windows advance only on
+    --ack; un-acked polls redeliver."""
+    log = f"{tmpdir_path}/log"
+    table = f"{tmpdir_path}/t"
+    _run(capsys, ["datagen", "--log-dir", log, "--events", "6000",
+                  "--shards", "2", "--seed", "3"])
+    _run(capsys, ["ingest", "--log-dir", log, "--table-dir", table,
+                  "--checkpoint-dir", f"{tmpdir_path}/ck", "--mode", "mor",
+                  "--batch-events", "3000", "--n-buckets", "4"])
+    cur = f"{tmpdir_path}/cursors"
+    p1 = _run(capsys, ["feed", "poll", "--table-dir", table,
+                       "--cursor-dir", cur, "--consumer", "c1"])
+    assert not p1["caught_up"] and p1["changes"] > 0 and not p1["acked"]
+    # un-acked: the same window redelivers
+    p2 = _run(capsys, ["feed", "poll", "--table-dir", table,
+                       "--cursor-dir", cur, "--consumer", "c1", "--ack",
+                       "--out-dir", f"{tmpdir_path}/out"])
+    assert (p2["from_version"], p2["to_version"]) == (
+        p1["from_version"], p1["to_version"])
+    assert p2["acked"] and p2["changes"] == p1["changes"]
+    p3 = _run(capsys, ["feed", "poll", "--table-dir", table,
+                       "--cursor-dir", cur, "--consumer", "c1"])
+    assert p3["caught_up"]
+    pos = _run(capsys, ["feed", "position", "--table-dir", table,
+                        "--cursor-dir", cur, "--consumer", "c1"])
+    assert pos["position"] == pos["head"] == p2["to_version"]
+    # the written window reads back with the change columns
+    import glob as _g
+    assert _g.glob(f"{tmpdir_path}/out/*.parquet")
