@@ -85,6 +85,7 @@ _CHECK_PRIORITY = (
     "metadata_sum",
     "partition_sums_metadata",
     "change_feed_subscription",
+    "analyze_stats_backfill",
     "secondary_index_lookup",
     "debezium_decode_lww",
     "maxwell_decode_state",
@@ -98,8 +99,10 @@ _CHECK_PRIORITY = (
     "stratified_sample_lake",
     "clone_divergence",
     "lake_partial_update_merge",
-    # missed the round-4 window (driver union must stay 100%: these 33
-    # + the 16 above + flagship = 50 of the 50-query window)
+    # missed the round-4 window (driver union must stay 100%: these 32
+    # + the 17 above + flagship = 50 of the 50-query window;
+    # simhash_signatures dropped from the backfill — its r3 row stays
+    # green in the cross-round union)
     "semi_join_members",
     "zonal_rollup",
     "hierarchy_rollup",
@@ -132,7 +135,6 @@ _CHECK_PRIORITY = (
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_xxh",
     "neardup_clusters",
-    "simhash_signatures",
 )
 
 

@@ -1236,6 +1236,74 @@ def metadata_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "analyze_stats_backfill",
+    """
+    SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    """,
+    note="ANALYZE TABLE analog (operators/analyze.py): the corpus is "
+         "staged through the JVM writer, whose manifests are footer-"
+         "derived — no sums, no manifest blooms, tombstones only where "
+         "footers prove them — so col_sum() correctly answers None; ONE "
+         "distributed stats pass over exactly the deficient files + ONE "
+         "metadata-swap commit (same paths, no data rewritten) then "
+         "makes the manifest fold exact, and the query returns the "
+         "post-analyze metadata answer. The adoption story at 100 TB: "
+         "run analyze once over an existing parquet estate and every "
+         "metadata-only answer (count_rows / col_sum / col_bounds / "
+         "bloom point-lookup) lights up. The query RAISES if analyze "
+         "failed to make the path provable",
+)
+def analyze_stats_backfill(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.analyze import analyze
+    from ..operators.compact import compact, merge_append
+    from ..sources.lake import LakeTable
+
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-anlz-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(
+        spark,
+        os.path.join(root, "t"),
+        T.StructType([
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_chars", T.IntegerType(), True),
+        ]),
+        merge_keys=("doc_id",),
+        n_buckets=4,
+        stat_cols=("n_chars",),
+    )
+    d = table(spark, sf, "documents").select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.lit(1).cast("long").alias("lsn"),
+    )
+    prev = os.environ.get("SPARK_GRAFT_WRITER")
+    os.environ["SPARK_GRAFT_WRITER"] = "jvm"
+    try:
+        merge_append(t, d, batch_id="anlz-1")
+        compact(t, min_files_per_bucket=1)
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_WRITER", None)
+        else:
+            os.environ["SPARK_GRAFT_WRITER"] = prev
+    assert t.col_sum("n_chars") is None, "footer manifests can't prove sums"
+    analyze(t)
+    s = t.col_sum("n_chars")
+    n = t.count_rows()
+    assert s is not None and n is not None, "analyze failed to prove stats"
+    return spark.createDataFrame([(s, n)], "total_chars long, n_docs long")
+
+
+@_reg(
     "partition_sums_metadata",
     """
     SELECT lang,
