@@ -334,6 +334,27 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    from .operators.analyze import analyze, set_stat_cols
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-analyze")
+    table = LakeTable.load(spark, args.table_dir)
+    out = {"op": "analyze", "table_dir": args.table_dir}
+    if args.stat_cols is not None:
+        cols = tuple(c for c in args.stat_cols.split(",") if c)
+        set_stat_cols(table, cols)
+        out["stat_cols"] = list(cols)
+    st = analyze(table)
+    out.update({
+        "files_total": st.files_total,
+        "files_analyzed": st.files_analyzed,
+        "version": st.snapshot_version,
+    })
+    _emit(out)
+    return 0
+
+
 def cmd_feed(args) -> int:
     from .sources.feed import FeedCursor
     from .sources.lake import LakeTable
@@ -587,6 +608,16 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--sample", action="store_true",
                     help="(lookup) include up to 5 matched rows in the JSON")
     ix.set_defaults(fn=cmd_index)
+
+    az = sub.add_parser("analyze", help="ANALYZE TABLE analog: backfill "
+                        "manifest stats (sums/blooms/tombstones) for "
+                        "deficient files; optionally evolve stat cols first")
+    _add_common(az)
+    az.add_argument("--table-dir", required=True)
+    az.add_argument("--stat-cols", default=None,
+                    help="comma-separated columns to set as the tracked "
+                         "stat set before analyzing (set_stat_cols DDL)")
+    az.set_defaults(fn=cmd_analyze)
 
     fd = sub.add_parser("feed", help="durable change-feed subscription: "
                         "poll the next change window, ack, inspect/reset "

@@ -119,6 +119,32 @@ def _deficient(
     )
 
 
+def _physical_names(
+    renames: list[dict], schema_version: int, logical: list[str]
+) -> dict:
+    """{logical name -> physical column name in a file written under
+    ``schema_version``}, or None when the logical column has no physical
+    presence there (added later, or dropped-and-re-added so pre-drop
+    bytes alias to a hidden name). Mirrors scan()'s forward rename
+    alignment: renames committed AFTER the file map its physical names
+    forward; we invert that chase so stats are read from the right
+    bytes and never resurrect dropped values."""
+    applicable = [r for r in renames if r["at_schema_version"] > schema_version]
+    if not applicable:
+        return {c: c for c in logical}
+
+    def fwd(p: str) -> str:
+        for r in applicable:  # chronological
+            if r["from"] == p:
+                p = r["to"]
+        return p
+
+    inv: dict = {}
+    for p in set(logical) | {r["from"] for r in applicable}:
+        inv.setdefault(fwd(p), p)
+    return {c: inv.get(c) for c in logical}
+
+
 def _make_file_analyzer(
     table_root: str,
     key0: str,
@@ -158,7 +184,12 @@ def _make_file_analyzer(
 
         pf = pq.ParquetFile(_os.path.join(table_root, meta["path"]))
         names = set(pf.schema_arrow.names)
-        want = [c for c in {key0, *stat_cols, "_tombstone"} if c in names]
+        # logical -> physical column name for THIS file's schema epoch
+        # (pre-rename files store old names; dropped-then-re-added
+        # columns have NO physical presence — see _physical_names)
+        phys = meta.pop("_phys")
+        rd = {c: p for c, p in phys.items() if p is not None and p in names}
+        want = [*{*rd.values(), "_tombstone"} & names]
         bounds: dict = {c: None for c in [key0] + stat_cols}
         sums: dict = {c: [0, 0] for c in sum_cols}  # absent col = all-null
         tomb = 0
@@ -169,7 +200,8 @@ def _make_file_analyzer(
         )
         for batch in pf.iter_batches(columns=want):
             for c in bounds:
-                i = batch.schema.get_field_index(c)
+                p = rd.get(c)
+                i = batch.schema.get_field_index(p) if p else -1
                 if i < 0:
                     continue
                 col = batch.column(i)
@@ -191,8 +223,8 @@ def _make_file_analyzer(
             ti = batch.schema.get_field_index("_tombstone")
             if ti >= 0:
                 tomb += int(pc.sum(batch.column(ti)).as_py() or 0)
-            if bloom is not None:
-                i = batch.schema.get_field_index(key0)
+            if bloom is not None and rd.get(key0):
+                i = batch.schema.get_field_index(rd[key0])
                 col = batch.column(i)
                 if col.null_count:
                     col = col.drop_null()
@@ -256,10 +288,17 @@ def analyze(table: LakeTable, version: int | None = None) -> AnalyzeStats:
     fn = _make_file_analyzer(
         table.path, key0, stat_cols, sum_cols, kb_bits, kb_int
     )
+    renames = cur.get("renames", [])
+    logical = [key0, *stat_cols]
+    payload = []
+    for f in todo:
+        m = f.to_json()
+        m["_phys"] = _physical_names(renames, f.schema_version, logical)
+        payload.append(m)
     sc = table.spark.sparkContext
     metas = (
         sc.parallelize(
-            [f.to_json() for f in todo],
+            payload,
             max(1, min(len(todo), 4 * sc.defaultParallelism)),
         )
         .map(fn)

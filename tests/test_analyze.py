@@ -132,3 +132,65 @@ def test_set_stat_cols_guards(spark, tmpdir_path):
         set_stat_cols(t, ("nope",))
     with pytest.raises(ValueError, match="first merge key"):
         set_stat_cols(t, ("conv_id",))
+
+
+def test_analyze_reads_prerename_bytes(spark, tmpdir_path):
+    """Files written before a column rename store the OLD physical
+    name; analyze must read those bytes for the new logical name."""
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"),
+        T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("y", T.IntegerType(), True),
+        ]),
+        merge_keys=("k",), n_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        [(i, i % 10, 1) for i in range(40)], "k long, y int, lsn long"
+    )
+    merge_into(t, b1, batch_id="b1")
+    t.rename_column("y", "z")
+    b2 = spark.createDataFrame(
+        [(100 + i, 50 + i % 10, 2) for i in range(10)], "k long, z int, lsn long"
+    )
+    merge_into(t, b2, batch_id="b2")
+    set_stat_cols(t, ("z",))
+    analyze(t)
+    want = t.scan().agg(F.sum("z")).collect()[0][0]
+    assert t.col_sum("z") == want
+    assert want == sum(i % 10 for i in range(40)) + sum(50 + i % 10 for i in range(10))
+
+
+def test_analyze_never_resurrects_dropped_values(spark, tmpdir_path):
+    """A column dropped then re-added reads NULL for pre-drop rows;
+    analyze must record [0, 0] for pre-drop files even though their
+    bytes still hold the old values."""
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"),
+        T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("x", T.IntegerType(), True),
+        ]),
+        merge_keys=("k",), n_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        [(i, 1000, 1) for i in range(40)], "k long, x int, lsn long"
+    )
+    merge_into(t, b1, batch_id="b1")
+    t.drop_column("x")
+    # re-add via schema evolution with DISJOINT keys: buckets untouched
+    # by b2 keep their pre-drop physical files
+    b2 = spark.createDataFrame(
+        [(100 + i, 7, 2) for i in range(10)], "k long, x int, lsn long"
+    )
+    merge_into(t, b2, batch_id="b2")
+    set_stat_cols(t, ("x",))
+    analyze(t)
+    want = t.scan().agg(F.sum("x")).collect()[0][0]
+    assert t.col_sum("x") == want
+    # the old 1000s must NOT appear: only b2's 7s are live x values
+    assert want == 7 * 10

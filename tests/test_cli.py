@@ -255,3 +255,22 @@ def test_cli_feed_subscription(spark, tmpdir_path, capsys):
     # the written window reads back with the change columns
     import glob as _g
     assert _g.glob(f"{tmpdir_path}/out/*.parquet")
+
+
+def test_cli_analyze(spark, tmpdir_path, capsys, monkeypatch):
+    """analyze CLI: stat-cols evolution + backfill through the
+    spark-submit surface (footer-manifest jvm write first)."""
+    monkeypatch.setenv("SPARK_GRAFT_WRITER", "jvm")
+    log = f"{tmpdir_path}/log"
+    table = f"{tmpdir_path}/t"
+    _run(capsys, ["datagen", "--log-dir", log, "--events", "4000",
+                  "--shards", "2", "--seed", "5"])
+    _run(capsys, ["ingest", "--log-dir", log, "--table-dir", table,
+                  "--checkpoint-dir", f"{tmpdir_path}/ck", "--mode", "cow",
+                  "--n-buckets", "4"])
+    monkeypatch.delenv("SPARK_GRAFT_WRITER")
+    a = _run(capsys, ["analyze", "--table-dir", table,
+                      "--stat-cols", "turn_idx"])
+    assert a["stat_cols"] == ["turn_idx"] and a["files_analyzed"] > 0
+    a2 = _run(capsys, ["analyze", "--table-dir", table])
+    assert a2["files_analyzed"] == 0  # idempotent
