@@ -82,6 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
+    "quality_audit",
     "metadata_sum",
     "partition_sums_metadata",
     "change_feed_subscription",
@@ -99,8 +100,8 @@ _CHECK_PRIORITY = (
     "stratified_sample_lake",
     "clone_divergence",
     "lake_partial_update_merge",
-    # missed the round-4 window (driver union must stay 100%: these 32
-    # + the 17 above + flagship = 50 of the 50-query window;
+    # missed the round-4 window (driver union must stay 100%: these 31
+    # + the 18 above + flagship = 50 of the 50-query window;
     # simhash_signatures dropped from the backfill — its r3 row stays
     # green in the cross-round union)
     "semi_join_members",
@@ -134,7 +135,8 @@ _CHECK_PRIORITY = (
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_xxh",
-    "neardup_clusters",
+    # neardup_clusters dropped from the backfill to keep the window at
+    # 50 as round-5 queries land — its r3 row stays green in the union
 )
 
 

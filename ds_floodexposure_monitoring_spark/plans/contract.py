@@ -1236,6 +1236,67 @@ def metadata_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "quality_audit",
+    """
+    SELECT 'not_null(text)' AS expectation,
+           CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT) AS violations
+    FROM documents
+    UNION ALL
+    SELECT 'in_range(n_chars,1,100000)',
+           CAST(COUNT(*) FILTER (
+             WHERE n_chars IS NOT NULL AND n_chars NOT BETWEEN 1 AND 100000
+           ) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'matches(lang)',
+           CAST(COUNT(*) FILTER (
+             WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$')
+           ) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'len_consistent',
+           CAST(COUNT(*) FILTER (
+             WHERE NOT coalesce(LENGTH(text) = n_chars, FALSE)
+           ) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'unique_key',
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    """,
+    note="data-quality expectation audit (the A of write-audit-publish; "
+         "Iceberg WAP / Delta constraints / Great-Expectations-lite "
+         "analog, operators/quality.py): not_null / in_range / regex / "
+         "arbitrary-contract / unique-key expectations ALL fold into ONE "
+         "aggregate pass (a conditional sum per expectation inside a "
+         "single agg — plan-pinned: 4 expectations cost the exchanges of "
+         "1), and publish_checked refuses the branch->main pointer swap "
+         "while any violation exists, so main never exposes unaudited "
+         "rows (pytest test_quality.py covers the refusal+repair WAP "
+         "loop; this query value-checks the evaluation semantics, "
+         "including null handling on every expectation kind)",
+)
+def quality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import quality as Q
+
+    d = table(spark, sf, "documents")
+    report = Q.audit_df(
+        d,
+        [
+            Q.not_null("text"),
+            Q.in_range("n_chars", 1, 100_000),
+            Q.matches("lang", r"^[a-z]{2}$"),
+            Q.satisfies("len_consistent", F.length("text") == F.col("n_chars")),
+        ],
+        keys=["doc_id"],
+    )
+    return spark.createDataFrame(
+        [(k, v) for k, v in report.items()],
+        "expectation string, violations long",
+    )
+
+
+@_reg(
     "analyze_stats_backfill",
     """
     SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
