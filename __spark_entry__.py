@@ -100,6 +100,7 @@ _CHECK_PRIORITY = (
     "stratified_sample_lake",
     "clone_divergence",
     "lake_partial_update_merge",
+    "incremental_join_refresh",
     # missed the round-4 window (driver union must stay 100%: these 31
     # + the 18 above + flagship = 50 of the 50-query window;
     # simhash_signatures dropped from the backfill — its r3 row stays
@@ -134,9 +135,9 @@ _CHECK_PRIORITY = (
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
-    "minhash_lsh_pairs_xxh",
-    # neardup_clusters dropped from the backfill to keep the window at
-    # 50 as round-5 queries land — its r3 row stays green in the union
+    # minhash_lsh_pairs_xxh and neardup_clusters dropped from the
+    # backfill to keep the window at 50 as round-5 queries land — their
+    # r3 rows stay green in the cross-round union
 )
 
 

@@ -191,3 +191,207 @@ def refresh_rollup(
         to_version=to_version,
         merge=stats,
     )
+
+
+# ------------------------------------------------------------ join views
+#
+# The join sibling of refresh_rollup: maintain `derived = left ⋈ dim`
+# incrementally from BOTH tables' change feeds. The reference's closest
+# shape is the PCODE-hierarchy enrichment it recomputes from scratch on
+# every run (reference: src/datasources/floodscan.py:256-258 joins the
+# zonal stats to the adm dim before every upsert); here the join view is
+# itself a lake table advanced by snapshot-diff deltas — the standard
+# incremental-view-maintenance delta rule for n:1 equi-joins
+# (dV = dL ⋈ R  ∪  L ⋈ dR), specialized to LWW state tables where
+# "recompute the affected keys from live state" subsumes both terms.
+
+_JLSN = "_join_lsn"
+
+
+@dataclass(frozen=True)
+class RefreshJoinStats:
+    """What one incremental join refresh did."""
+
+    changed_keys: int
+    upserted_rows: int
+    deleted_rows: int
+    from_versions: tuple[int, int]
+    to_versions: tuple[int, int]
+    merge: MergeStats | None
+
+    def to_json(self) -> dict:
+        return {
+            "changed_keys": self.changed_keys,
+            "upserted_rows": self.upserted_rows,
+            "deleted_rows": self.deleted_rows,
+            "from_versions": list(self.from_versions),
+            "to_versions": list(self.to_versions),
+        }
+
+
+def join_state(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    on: Sequence[str],
+    left_keys: Sequence[str],
+    project: Callable[[], list[Column]],
+    how: str = "inner",
+) -> DataFrame:
+    """The full (non-incremental) join view of two live states — the
+    oracle the incremental path must converge to, and the bootstrap for
+    an empty derived table. Columns: ``left_keys`` + the projection."""
+    return left_df.join(right_df, on=list(on), how=how).select(
+        *left_keys, *project()
+    )
+
+
+def refresh_join(
+    left: LakeTable,
+    right: LakeTable,
+    derived: LakeTable,
+    on: Sequence[str],
+    project: Callable[[], list[Column]],
+    from_versions: tuple[int, int],
+    to_versions: tuple[int, int] | None = None,
+    how: str = "inner",
+    batch_id: str | None = None,
+    target_rows_per_file: int = 2_000_000,
+) -> RefreshJoinStats:
+    """Advance ``derived`` to reflect ``left ⋈ right`` (equi-join on
+    ``on``) at ``to_versions``, recomputing ONLY the left keys either
+    feed says were touched.
+
+    Contract:
+
+    - ``right.merge_keys == tuple(on)`` — the dim is unique per join
+      key, so each left row yields at most one output row and the view
+      can be keyed on the LEFT table's merge keys;
+    - ``derived.merge_keys == left.merge_keys``;
+    - ``project`` is a zero-arg callable returning fresh aliased
+      Columns over the joined frame (same discipline as
+      ``refresh_rollup``'s ``agg_exprs``); the derived table's data
+      columns are exactly those aliases;
+    - ``how`` is ``'inner'`` (a left row with no dim match has no view
+      row — dim deletes DELETE from the view) or ``'left'`` (the view
+      keeps every live left row; dim deletes null the dim columns).
+
+    Affected-key algebra (the IVM delta rule for n:1 joins, on LWW
+    state): a view row can change only if (a) its left row changed —
+    named directly by the left feed's key images, including deletes —
+    or (b) its dim row changed — the left rows holding a changed join
+    value, found by ONE semi join of the live left state against the
+    right feed's key set (dim-update fanout: inherent to the
+    maintenance problem, bounded by the hot key's row count). Keys
+    affected but absent from the recomputed join (left row deleted, or
+    inner match lost) become view DELETEs.
+
+    Scale shape: both change feeds are metadata-bucket-pruned snapshot
+    diffs; when the join column is the left table's bucket key (the
+    common fact⋈dim case) the live-left scans are pruned to the buckets
+    holding changed keys/values — O(touched files), never O(table); the
+    derived MERGE then touches only the buckets holding changed keys.
+    The refresh LSN is ``to_left + to_right`` — strictly monotone across
+    refreshes and identical on replay, so redelivery of a refresh
+    last-writer-wins to the identical state.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    on = list(on)
+    if list(right.merge_keys) != on:
+        raise ValueError(
+            f"right table must be merge-keyed on the join columns: "
+            f"keys {right.merge_keys} vs on {on}"
+        )
+    lkeys = list(left.merge_keys)
+    if list(derived.merge_keys) != lkeys:
+        raise ValueError(
+            f"derived table is keyed on {derived.merge_keys}, "
+            f"the join view on the left table's keys {lkeys}"
+        )
+    lv0, rv0 = from_versions
+    to_versions = (
+        (left.version, right.version) if to_versions is None else to_versions
+    )
+    lv1, rv1 = to_versions
+
+    def _files(t: LakeTable, v: int) -> set[str]:
+        return {f.path for f in t.files(t.snapshot(v))}
+
+    if lv1 == lv0 and rv1 == rv0:
+        return RefreshJoinStats(0, 0, 0, from_versions, to_versions, None)
+    # metadata-only zero-change short-circuit (both sides)
+    if _files(left, lv0) == _files(left, lv1) and _files(right, rv0) == _files(
+        right, rv1
+    ):
+        return RefreshJoinStats(0, 0, 0, from_versions, to_versions, None)
+
+    dl_keys = left.scan_changes(lv0, lv1).select(*lkeys).distinct()
+    dr_vals = right.scan_changes(rv0, rv1).select(*on).distinct()
+
+    # Bucket-prune the live-left scans when the join column IS the left
+    # bucket key: every affected row lives in a bucket named by either
+    # changed-key set (dl keys hash on lkeys[0]; dim fanout rows hash on
+    # their join value — the same column). The bucket-set collects are
+    # bounded by n_buckets.
+    live_files = None
+    if on[0] == lkeys[0]:
+        brows = (
+            dl_keys.select(left.bucket_expr(key_col=lkeys[0]).alias("b"))
+            .union(dr_vals.select(left.bucket_expr(key_col=on[0]).alias("b")))
+            .distinct()
+            .collect()
+        )
+        bset = {r["b"] for r in brows}
+        live_files = [
+            f for f in left.files(left.snapshot(lv1)) if f.bucket in bset
+        ]
+
+    def _live_left() -> DataFrame:
+        return left.scan(version=lv1, files=live_files)
+
+    # changed KEY set = left-feed keys (covers left inserts/updates/
+    # deletes) ∪ keys of live rows holding a changed join value (dim
+    # fanout). Persisted: read as the recompute's semi-join build side
+    # and again by the vanished-key anti join; bounded by the interval's
+    # change volume plus the dim fanout.
+    fanout_keys = _live_left().join(dr_vals, on=on, how="left_semi").select(*lkeys)
+    changed = dl_keys.union(fanout_keys).distinct().persist()
+    try:
+        affected = _live_left().join(changed, on=lkeys, how="left_semi")
+        recomputed = affected.join(
+            right.scan(version=rv1), on=on, how=how
+        ).select(*lkeys, *project())
+        data_cols = [c for c in recomputed.columns if c not in lkeys]
+
+        gone = changed.join(recomputed.select(*lkeys), on=lkeys, how="left_anti")
+        out_types = {f.name: f.dataType for f in recomputed.schema.fields}
+        deletes = gone.select(
+            *lkeys,
+            *[F.lit(None).cast(out_types[c]).alias(c) for c in data_cols],
+        ).withColumn(_OP, F.lit("D"))
+
+        batch = (
+            recomputed.withColumn(_OP, F.lit("U"))
+            .unionByName(deletes, allowMissingColumns=False)
+            .withColumn(_JLSN, F.lit(lv1 + rv1).cast("long"))
+        )
+        stats = merge_into(
+            derived,
+            batch,
+            lsn_col=_JLSN,
+            op_col=_OP,
+            delete_op="D",
+            batch_id=batch_id
+            or f"joinview-{left.path}-{lv0}.{rv0}-{lv1}.{rv1}",
+            target_rows_per_file=target_rows_per_file,
+        )
+    finally:
+        changed.unpersist()
+    return RefreshJoinStats(
+        changed_keys=stats.updated + stats.inserted + stats.deleted,
+        upserted_rows=stats.updated + stats.inserted,
+        deleted_rows=stats.deleted,
+        from_versions=from_versions,
+        to_versions=to_versions,
+        merge=stats,
+    )

@@ -648,6 +648,99 @@ def incremental_rollup_refresh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "incremental_join_refresh",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    ),
+    d AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 5 = 0 THEN 'vip'
+                  ELSE 't' || CAST(user_id % 4 AS VARCHAR) END AS tier
+      FROM events WHERE user_id % 13 <> 0
+    )
+    SELECT s.user_id, s.event_type, s.value, s.ts, d.tier
+    FROM s JOIN d ON s.user_id = d.user_id
+    """,
+    note="incremental join-view maintenance: the reference recomputes its "
+         "fact-to-admin-hierarchy enrichment join from scratch before every "
+         "upsert (floodscan.py:256-258); here derived = fact JOIN dim is "
+         "itself a lake table advanced from BOTH tables' snapshot-diff "
+         "change feeds by the n:1 IVM delta rule (dV = dL JOIN R, plus "
+         "L semi-joined to dR for dim-update fanout) — three interleaved "
+         "fact batches x dim insert/update/delete, final view state must "
+         "equal the full join of both live states (this oracle)",
+)
+def incremental_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintain fact⋈dim incrementally: 3 staged fact batches interleaved
+    with dim bootstrap / tier updates / user deletes; return the final
+    view state."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..operators.incremental import refresh_join
+    from ..operators.merge import merge_into
+    from ..sources.lake import LakeTable
+
+    t, versions = _staged_events_table_shared(spark, sf)
+    root = os.path.dirname(t.path)
+    dim_dir, view_dir = os.path.join(root, "jdim"), os.path.join(root, "jview")
+    shutil.rmtree(dim_dir, ignore_errors=True)
+    shutil.rmtree(view_dir, ignore_errors=True)
+    dim = LakeTable.create(
+        spark, dim_dir,
+        T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("tier", T.StringType()),
+        ]),
+        merge_keys=("user_id",), n_buckets=4,
+    )
+    view = LakeTable.create(
+        spark, view_dir,
+        T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tier", T.StringType()),
+        ]),
+        merge_keys=("user_id", "event_type"), n_buckets=8,
+    )
+    users = table(spark, sf, "events").select("user_id").distinct()
+    dim_batches = [
+        users.select(
+            F.lit(1).cast("long").alias("lsn"), "user_id",
+            F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string")).alias("tier"),
+            F.lit("U").alias("op"),
+        ),
+        users.where(F.col("user_id") % 5 == 0).select(
+            F.lit(2).cast("long").alias("lsn"), "user_id",
+            F.lit("vip").alias("tier"), F.lit("U").alias("op"),
+        ),
+        users.where(F.col("user_id") % 13 == 0).select(
+            F.lit(3).cast("long").alias("lsn"), "user_id",
+            F.lit(None).cast("string").alias("tier"), F.lit("D").alias("op"),
+        ),
+    ]
+    project = lambda: [  # noqa: E731
+        F.col("value"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("tier"),
+    ]
+    lv, rv = versions[0], dim.version
+    for fact_v, dbatch in zip(versions[1:], dim_batches):
+        merge_into(dim, dbatch, op_col="op", batch_id=f"dim-{fact_v}")
+        st = refresh_join(
+            t, dim, view, ("user_id",), project,
+            from_versions=(lv, rv), to_versions=(fact_v, dim.version),
+        )
+        lv, rv = st.to_versions
+    return view.scan().select("user_id", "event_type", "value", "ts", "tier")
+
+
+@_reg(
     "timerange_scan",
     """
     WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,
