@@ -132,6 +132,9 @@ def create_ann_index(
         index_schema(),
         merge_keys=("cid", "vec_id"),
         n_buckets=n_buckets,
+        # vec_id file stats: GDPR erase (operators/erase.py) prunes the
+        # posting files by doomed vector instead of rewriting the index
+        stat_cols=("vec_id",),
     )
     write_centroids(t, centroids)
     return t

@@ -101,6 +101,9 @@ def create_index(
         merge_keys=("band_key", "doc_id"),
         n_buckets=n_buckets,
         key_bloom_bits=key_bloom_bits,
+        # doc_id file stats: GDPR erase (operators/erase.py) prunes the
+        # band files by doomed doc instead of rewriting the whole index
+        stat_cols=("doc_id",),
     )
 
 

@@ -75,6 +75,10 @@ def create_index(
         T.StructType(fields),
         merge_keys=(IVAL, *base.merge_keys),
         n_buckets=n_buckets,
+        # per-file stats on the base-key columns: lets a GDPR erase
+        # (operators/erase.py) prune the postings files by doomed key
+        # instead of rewriting the whole index
+        stat_cols=tuple(base.merge_keys),
     )
 
 

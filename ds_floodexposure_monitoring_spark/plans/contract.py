@@ -1703,6 +1703,54 @@ def clone_divergence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "gdpr_erase_cascade",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_type, value, ts FROM s
+    WHERE user_id % 17 <> 0 AND event_type IN ('click', 'purchase')
+    """,
+    note="GDPR erase cascade (operators/erase.py): erase a user list "
+         "from a cloned staged table AND its secondary index in one "
+         "call — base files pruned by bucket+range+bloom, index posting "
+         "files pruned by per-file user_id stats, every rewrite "
+         "verbatim-minus-doomed, then expire_snapshots physically "
+         "deletes the replaced files so time travel cannot resurrect "
+         "the erased rows; the returned rows are served THROUGH the "
+         "index lookup path post-erase (prune-then-verify), proving "
+         "the index stayed consistent under the cascade",
+)
+def gdpr_erase_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators import secondary_index as sx
+    from ..operators.erase import erase_cascade
+
+    src, _versions = _staged_events_table_shared(spark, sf)
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-erase-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    clone = src.clone(f"{root}/t")
+    idx = sx.create_index(spark, f"{root}/ix", clone, "event_type")
+    sx.index_backfill(idx, clone, "event_type")
+    doomed = [
+        r.user_id
+        for r in table(spark, sf, "events")
+        .where(F.col("user_id") % 17 == 0)
+        .select("user_id").distinct().collect()
+    ]
+    erase_cascade(clone, doomed, sidecars={"ix": (idx, "user_id")},
+                  expire_keep_last=1)
+    return sx.lookup(idx, clone, "event_type", ["click", "purchase"]).select(
+        "user_id", "event_type", "value", "ts"
+    )
+
+
+@_reg(
     "schema_evolution_merge",
     """
     WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),
