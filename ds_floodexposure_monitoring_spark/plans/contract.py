@@ -741,6 +741,67 @@ def incremental_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "read_optimized_scan",
+    """
+    WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),
+    ro AS (
+      SELECT user_id, event_type, value, ts FROM events, h WHERE event_id <= cut
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    ),
+    rt AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    )
+    SELECT 'ro' AS side, user_id, event_type, value, ts FROM ro
+    UNION ALL
+    SELECT 'rt' AS side, user_id, event_type, value, ts FROM rt
+    """,
+    note="read-optimized vs real-time scan (Hudi RO/RT query-type "
+         "analog): after 2 MOR batches + a major compaction + a 3rd "
+         "delta batch, scan_read_optimized reads ONLY base files — no "
+         "MOR fold, pure columnar scan — and must equal the LWW state "
+         "as of the compaction (first two thirds of the log), while the "
+         "default scan resolves the full state; both sides come from "
+         "the SAME table object in one query",
+)
+def read_optimized_scan(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.compact import compact, merge_append
+    from ..sources.lake import LakeTable
+
+    ev = table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    schema = T.StructType([f for f in ev.schema.fields if f.name != "event_id"])
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-roscan-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(
+        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
+        n_buckets=8,
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cut = 2 * hi // 3
+    merge_append(t, ev.where(F.col("event_id") <= cut // 2),
+                 lsn_col="event_id", target_rows_per_file=500_000)
+    merge_append(t, ev.where((F.col("event_id") > cut // 2)
+                             & (F.col("event_id") <= cut)),
+                 lsn_col="event_id", target_rows_per_file=500_000)
+    compact(t, min_files_per_bucket=1)
+    merge_append(t, ev.where(F.col("event_id") > cut),
+                 lsn_col="event_id", target_rows_per_file=500_000)
+    cols = ["user_id", "event_type", "value", "ts"]
+    ro = t.scan_read_optimized().select(F.lit("ro").alias("side"), *cols)
+    rt = t.scan().select(F.lit("rt").alias("side"), *cols)
+    return ro.unionByName(rt)
+
+
+@_reg(
     "timerange_scan",
     """
     WITH b AS (SELECT min(ts) + INTERVAL 10 DAY AS lo,

@@ -1621,6 +1621,35 @@ class LakeTable:
             ).drop(LSN_COL, TOMBSTONE_COL, DML_SEQ_COL, *flsn_names)
         return out
 
+    def scan_read_optimized(self, version: int | None = None) -> DataFrame:
+        """Hudi read-optimized-query analog (RO vs the default
+        real-time scan): read ONLY base files — each bucket's last
+        bucket-complete resolution (major compaction, rebucket,
+        replace, or COW merge) — and skip unresolved delta files
+        entirely. No MOR fold, no per-key hash agg: the plan is a pure
+        columnar scan with pushdown, at the price of bounded staleness
+        (each bucket reads as of its last resolution; a bucket never
+        resolved contributes nothing — Hudi's log-only file-group
+        semantics). On a fully-resolved snapshot RO ≡ the normal scan.
+
+        The serving-layer shape at 10^10 rows: dashboards read RO at
+        base-scan speed while ingest appends deltas; compaction cadence
+        bounds the lag, and :meth:`ro_lag_rows` reports it from
+        metadata alone."""
+        snap = self.current() if version is None else self.snapshot(version)
+        base_files = [f for f in self.files(snap) if f.base]
+        # resolve=False: base files are bucket-complete resolutions, so
+        # no fold is needed; scan() still drops tombstoned rows kept in
+        # bases for out-of-order ordering guards
+        return self.scan(version=snap["version"], files=base_files, resolve=False)
+
+    def ro_lag_rows(self, version: int | None = None) -> int:
+        """Rows invisible to :meth:`scan_read_optimized` (metadata
+        only): the row count of unresolved delta files — the upper
+        bound on changes a read-optimized reader hasn't seen."""
+        snap = self.current() if version is None else self.snapshot(version)
+        return sum(f.rows for f in self.files(snap) if not f.base)
+
     # ---------------------------------------------------------- point lookup
     def prune_for_keys(self, values: list, snapshot: dict | None = None) -> list[DataFile]:
         """Metadata-only file pruning for a set of first-merge-key
