@@ -177,6 +177,35 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    from .operators.maintain import (
+        MaintenancePolicy,
+        plan_maintenance,
+        run_maintenance,
+    )
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-maintain")
+    table = LakeTable.load(spark, args.table_dir)
+    pol = MaintenancePolicy(
+        compact_at_files=args.compact_at_files,
+        major_delta_ratio=args.major_delta_ratio,
+        target_rows_per_file=args.rows_per_file,
+        tombstone_watermark_lsn=args.tombstone_watermark_lsn,
+        analyze_stats=not args.no_analyze,
+        keep_snapshots=args.keep_snapshots,
+        orphan_grace_sec=args.orphan_grace_sec,
+    )
+    if args.dry_run:
+        _emit({"op": "maintain", "table_dir": args.table_dir, "dry_run": True,
+               "plan": plan_maintenance(table, pol).to_json()})
+        return 0
+    rep = run_maintenance(table, pol)
+    _emit({"op": "maintain", "table_dir": args.table_dir, "dry_run": False,
+           **rep, "final_version": table.version})
+    return 0
+
+
 def cmd_expire(args) -> int:
     from .sources.lake import LakeTable
 
@@ -650,6 +679,22 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--cluster-order", choices=("linear", "zorder"),
                    default="linear")
     c.set_defaults(fn=cmd_compact)
+
+    mt = sub.add_parser("maintain", help="one-shot maintenance cycle: plan "
+                        "from manifests, then compact + analyze + expire in "
+                        "dependency order")
+    _add_common(mt)
+    mt.add_argument("--table-dir", required=True)
+    mt.add_argument("--dry-run", action="store_true",
+                    help="print the metadata-only plan, change nothing")
+    mt.add_argument("--compact-at-files", type=int, default=4)
+    mt.add_argument("--major-delta-ratio", type=float, default=0.3)
+    mt.add_argument("--rows-per-file", type=int, default=2_000_000)
+    mt.add_argument("--tombstone-watermark-lsn", type=int, default=None)
+    mt.add_argument("--no-analyze", action="store_true")
+    mt.add_argument("--keep-snapshots", type=int, default=8)
+    mt.add_argument("--orphan-grace-sec", type=float, default=3600.0)
+    mt.set_defaults(fn=cmd_maintain)
 
     e = sub.add_parser("expire", help="expire snapshots + vacuum orphan files")
     _add_common(e)

@@ -1812,6 +1812,38 @@ def gdpr_erase_cascade(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "table_maintenance",
+    """
+    SELECT user_id, event_type, value, ts FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="one-shot metadata-driven maintenance (operators/maintain.py — "
+         "the OPTIMIZE + ANALYZE + VACUUM triplet planned from manifests "
+         "alone): on a clone of the 3-batch MOR staged table the planner "
+         "reads zero data to decide major-vs-minor compaction, stats "
+         "backfill and snapshot expiry, then runs them in dependency "
+         "order; the scanned state afterwards must be byte-identical to "
+         "the full LWW state (this oracle), RO lag must be 0, and a "
+         "second cycle must plan nothing (pytest test_maintain.py)",
+)
+def table_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.maintain import MaintenancePolicy, run_maintenance
+
+    src, _versions = _staged_events_table_shared(spark, sf)
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-maint-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    clone = src.clone(f"{root}/t")
+    run_maintenance(clone, MaintenancePolicy(compact_at_files=1,
+                                             keep_snapshots=1))
+    return clone.scan().select("user_id", "event_type", "value", "ts")
+
+
+@_reg(
     "schema_evolution_merge",
     """
     WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),

@@ -274,3 +274,27 @@ def test_cli_analyze(spark, tmpdir_path, capsys, monkeypatch):
     assert a["stat_cols"] == ["turn_idx"] and a["files_analyzed"] > 0
     a2 = _run(capsys, ["analyze", "--table-dir", table])
     assert a2["files_analyzed"] == 0  # idempotent
+
+
+def test_cli_maintain(spark, tmpdir_path, capsys):
+    """maintain CLI: dry-run plan, then the full cycle, then converged."""
+    log = f"{tmpdir_path}/log"
+    table = f"{tmpdir_path}/t"
+    _run(capsys, ["datagen", "--log-dir", log, "--events", "6000",
+                  "--shards", "3", "--seed", "9"])
+    _run(capsys, ["ingest", "--log-dir", log, "--table-dir", table,
+                  "--checkpoint-dir", f"{tmpdir_path}/ck", "--mode", "mor",
+                  "--n-buckets", "4", "--batch-events", "2000",
+                  "--compact-every", "1000000"])
+    d = _run(capsys, ["maintain", "--table-dir", table, "--dry-run",
+                      "--compact-at-files", "2", "--keep-snapshots", "2"])
+    assert d["dry_run"] and d["plan"]["compact_mode"] in ("minor", "major")
+    m = _run(capsys, ["maintain", "--table-dir", table,
+                      "--compact-at-files", "2", "--keep-snapshots", "2",
+                      "--orphan-grace-sec", "0"])
+    assert m["compact"] is not None and m["ro_lag_rows"] == 0
+    assert m["expire"]["expired_snapshots"] >= 1
+    m2 = _run(capsys, ["maintain", "--table-dir", table,
+                       "--compact-at-files", "2", "--keep-snapshots", "2",
+                       "--orphan-grace-sec", "0"])
+    assert m2["compact"] is None and m2["plan"]["compact_mode"] is None

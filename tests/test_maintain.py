@@ -1,0 +1,99 @@
+"""Maintenance planner: manifests decide what runs; the cycle preserves
+state byte-for-byte and converges to a nothing-to-do plan."""
+
+import os
+
+from pyspark.sql import types as T
+
+from ds_floodexposure_monitoring_spark.operators.analyze import set_stat_cols
+from ds_floodexposure_monitoring_spark.operators.compact import merge_append
+from ds_floodexposure_monitoring_spark.operators.maintain import (
+    MaintenancePolicy,
+    plan_maintenance,
+    run_maintenance,
+)
+from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, root, **kw):
+    return LakeTable.create(
+        spark, os.path.join(root, "t"), SCHEMA, merge_keys=("k",),
+        n_buckets=2, **kw,
+    )
+
+
+def _state(t):
+    return sorted((r.k, r.n, r.v) for r in t.scan().collect())
+
+
+def _append(spark, t, lo, hi, tag):
+    merge_append(t, spark.createDataFrame(
+        [(i, i, i, f"{tag}{i}") for i in range(lo, hi)],
+        "lsn long, k long, n long, v string"))
+
+
+def test_cycle_preserves_state_and_converges(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    for b in range(5):
+        _append(spark, t, b * 10, b * 10 + 10, f"b{b}")
+    before = _state(t)
+    pol = MaintenancePolicy(compact_at_files=3, keep_snapshots=2)
+
+    plan = plan_maintenance(t, pol)
+    assert plan.compact_mode == "major"  # all rows are deltas
+    assert plan.delta_rows == 50 and plan.total_rows == 50
+    assert plan.snapshots_over > 0
+    assert not plan.nothing_to_do
+
+    rep = run_maintenance(t, pol)
+    assert rep["compact"]["mode"] == "major"
+    assert rep["expire"]["expired_snapshots"] > 0
+    assert rep["ro_lag_rows"] == 0
+    assert _state(t) == before
+
+    # converged: second run plans nothing and commits nothing
+    v = t.version
+    plan2 = plan_maintenance(t, pol)
+    assert plan2.nothing_to_do
+    rep2 = run_maintenance(t, pol)
+    assert rep2["compact"] is None
+    assert rep2["analyze"]["files_analyzed"] == 0
+    assert t.version == v
+
+
+def test_minor_when_deltas_are_small_share(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    _append(spark, t, 0, 100, "base")
+    run_maintenance(t, MaintenancePolicy(compact_at_files=1))  # make a base
+    # small delta on top of a big base -> minor, bases exempt
+    for b in range(3):
+        _append(spark, t, 1000 + b, 1001 + b, "d")
+    plan = plan_maintenance(t, MaintenancePolicy(compact_at_files=2))
+    assert plan.compact_mode == "minor"
+    before = _state(t)
+    rep = run_maintenance(t, MaintenancePolicy(compact_at_files=2))
+    assert rep["compact"]["mode"] == "minor"
+    assert _state(t) == before
+
+
+def test_stats_ddl_makes_files_deficient_then_analyze_heals(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    _append(spark, t, 0, 20, "x")
+    run_maintenance(t, MaintenancePolicy(compact_at_files=1))
+    assert plan_maintenance(t).nothing_to_do
+    # DDL a new stat column: existing files lack its entries
+    set_stat_cols(t, ("n",))
+    plan = plan_maintenance(t)
+    assert plan.deficient_files > 0
+    rep = run_maintenance(t)
+    assert rep["analyze"]["files_analyzed"] == plan.deficient_files
+    assert plan_maintenance(t).nothing_to_do
+    assert t.col_sum("n") == sum(range(20))
