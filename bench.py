@@ -85,6 +85,10 @@ HEADLINE = [
     "secondary_index_lookup",
     "metadata_sum",
     "partition_sums_metadata",
+    "incremental_join_refresh",
+    "gdpr_erase_cascade",
+    "read_optimized_scan",
+    "table_maintenance",
 ]
 
 # sf0.1 -> 16M events: the same production-size-batch regime as

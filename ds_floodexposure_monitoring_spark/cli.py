@@ -458,6 +458,33 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_erase(args) -> int:
+    from .operators.erase import erase_cascade
+    from .sources.lake import LakeTable
+
+    spark = _spark(args, "cdc-erase")
+    table = LakeTable.load(spark, args.table_dir)
+    key_type = table.schema()[table.merge_keys[0]].dataType.simpleString()
+    vals: list = [
+        int(v) if key_type in ("bigint", "int", "smallint", "tinyint") else v
+        for v in (s.strip() for s in args.keys.split(",")) if v
+    ]
+    sidecars = {}
+    for spec in args.sidecar or []:
+        # label=path:col — erase the same keys from that table's col
+        label, rest = spec.split("=", 1)
+        path, col = rest.rsplit(":", 1)
+        sidecars[label] = (LakeTable.load(spark, path), col)
+    rep = erase_cascade(
+        table, vals, sidecars=sidecars,
+        expire_keep_last=args.expire_keep_last,
+        orphan_grace_sec=args.orphan_grace_sec,
+    )
+    _emit({"op": "erase", "table_dir": args.table_dir,
+           "keys": len(vals), **rep.to_json()})
+    return 0
+
+
 def cmd_history(args) -> int:
     from .sources.lake import LakeTable
 
@@ -744,6 +771,24 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--table-dir", required=True)
     d.add_argument("--where", required=True, help="SQL predicate, e.g. \"conv_id = 'c1'\"")
     d.set_defaults(fn=cmd_delete)
+
+    er = sub.add_parser("erase", help="GDPR erase cascade: remove every row "
+                        "version of a key list from the base table and its "
+                        "index sidecars, then expire the history")
+    _add_common(er)
+    er.add_argument("--table-dir", required=True)
+    er.add_argument("--keys", required=True,
+                    help="comma-separated first-merge-key values to erase")
+    er.add_argument("--sidecar", action="append", default=None,
+                    metavar="LABEL=PATH:COL",
+                    help="also erase the keys from this table's column "
+                         "(repeatable), e.g. ix=/lake/ix_role:conv_id")
+    er.add_argument("--expire-keep-last", type=int, default=None,
+                    help="after erasing, expire all but the last N snapshots "
+                         "on every touched table (physically deletes the "
+                         "replaced files; omit to keep history)")
+    er.add_argument("--orphan-grace-sec", type=float, default=0.0)
+    er.set_defaults(fn=cmd_erase)
 
     t = sub.add_parser("tag", help="pin/drop a named snapshot tag (expire-proof)")
     _add_common(t)

@@ -56,6 +56,7 @@ class CDCPipeline:
         changelog_format: str = "parquet",
         payload_schema=None,
         indexes: dict[str, LakeTable] | None = None,
+        views: list | None = None,
     ):
         """``mode``: 'cow' rewrites affected buckets per batch (read-
         optimized); 'mor' appends delta files and resolves at scan
@@ -95,6 +96,16 @@ class CDCPipeline:
         runs), or index committed but checkpoint not (both replay as
         no-ops). Cost is O(batch) per index per batch — the same
         bounded at-ingest discipline as the LSH and IVF indexes.
+
+        ``views``: materialized views maintained AT INGEST — a list of
+        ``streaming.views.RollupView`` / ``JoinView`` objects over this
+        pipeline's table. After every batch commit each view advances
+        its derived table by exactly the uncovered version window (the
+        IVM operators' bounded changed-keys plan) and then commits its
+        own atomic cursor — at-least-once with idempotent windows, so
+        every crash window converges and a replayed batch short-circuits
+        on metadata. The reference's analog is the full derived-table
+        rebuild each run (pipelines/update_exposure_quantile.py).
 
         ``changelog_format``: 'parquet' (native columnar tail) or
         'debezium'/'maxwell' — JSON-envelope files in the same
@@ -141,6 +152,7 @@ class CDCPipeline:
         self.quarantine = Quarantine(spark, quarantine_dir) if quarantine_dir else None
         self.invalid_when = invalid_when
         self.indexes = dict(indexes or {})
+        self.views = list(views or [])
         for col in self.indexes:
             if col not in table.schema().fieldNames():
                 raise ValueError(f"indexed column {col!r} not in table schema")
@@ -276,6 +288,13 @@ class CDCPipeline:
                     df, _ = self._read_clean_batch(batch, write_quarantine=False)
                 index_append(idx, self.table, df, col, batch_id=ib)
                 self._index_committed[col].add(ib)
+        # materialized-view maintenance: ALSO outside the replay guard —
+        # a crash between the base commit and a view's cursor write
+        # replays the batch with the base as a no-op, and the view
+        # re-runs its (idempotent) uncovered window; replayed batches
+        # leave the base byte-identical, so the window short-circuits
+        for v in self.views:
+            v.refresh()
         self._committed.add(batch.batch_id)
 
         state.offsets = batch.offsets_after

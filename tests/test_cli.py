@@ -298,3 +298,33 @@ def test_cli_maintain(spark, tmpdir_path, capsys):
                        "--compact-at-files", "2", "--keep-snapshots", "2",
                        "--orphan-grace-sec", "0"])
     assert m2["compact"] is None and m2["plan"]["compact_mode"] is None
+
+
+def test_cli_erase(spark, tmpdir_path, capsys):
+    """erase CLI: cascade over base + a secondary-index sidecar through
+    the spark-submit surface, with history expiry."""
+    from ds_floodexposure_monitoring_spark.operators import secondary_index as sx
+    from ds_floodexposure_monitoring_spark.sources.lake import LakeTable
+
+    log = f"{tmpdir_path}/log"
+    table = f"{tmpdir_path}/t"
+    _run(capsys, ["datagen", "--log-dir", log, "--events", "4000",
+                  "--shards", "2", "--seed", "3"])
+    _run(capsys, ["ingest", "--log-dir", log, "--table-dir", table,
+                  "--checkpoint-dir", f"{tmpdir_path}/ck", "--mode", "cow",
+                  "--n-buckets", "4"])
+    t = LakeTable.load(spark, table)
+    idx = sx.create_index(spark, f"{tmpdir_path}/ix", t, "role")
+    sx.index_backfill(idx, t, "role")
+    doomed = sorted({r.conv_id for r in t.scan().select("conv_id").collect()})[:3]
+    r = _run(capsys, ["erase", "--table-dir", table,
+                      "--keys", ",".join(doomed),
+                      "--sidecar", f"ix={tmpdir_path}/ix:conv_id",
+                      "--expire-keep-last", "1", "--orphan-grace-sec", "0"])
+    assert r["base"]["rows_erased"] > 0
+    assert r["sidecars"]["ix"]["rows_erased"] > 0
+    assert r["expired"]["base"]["expired_snapshots"] >= 1
+    left = {x.conv_id for x in t.scan().select("conv_id").collect()}
+    assert not (left & set(doomed))
+    ileft = {x.conv_id for x in idx.scan().select("conv_id").collect()}
+    assert not (ileft & set(doomed))
