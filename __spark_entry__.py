@@ -104,6 +104,7 @@ _CHECK_PRIORITY = (
     "gdpr_erase_cascade",
     "read_optimized_scan",
     "table_maintenance",
+    "multi_table_txn",
     # missed the round-4 window (driver union must stay 100%: these 31
     # + the 18 above + flagship = 50 of the 50-query window;
     # simhash_signatures dropped from the backfill — its r3 row stays
@@ -134,11 +135,10 @@ _CHECK_PRIORITY = (
     "dropna_clean",
     "collect_qualifying_years",
     "transcript_assembly",
-    "transcript_assembly_arrow",
-    # dedup_exact, minhash_lsh_pairs(+_xxh), neardup_clusters and
-    # ngram_jaccard_pairs dropped from the backfill to keep the window
-    # at 50 as round-5 queries land — their r3 rows stay green in the
-    # cross-round union
+    # dedup_exact, minhash_lsh_pairs(+_xxh), neardup_clusters,
+    # ngram_jaccard_pairs and transcript_assembly_arrow dropped from the
+    # backfill to keep the window at 50 as round-5 queries land — their
+    # r3 rows stay green in the cross-round union
 )
 
 

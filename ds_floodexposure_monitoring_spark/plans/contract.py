@@ -1764,6 +1764,74 @@ def clone_divergence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "multi_table_txn",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    ),
+    d AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM s WHERE NOT (value >= 50) GROUP BY event_type
+    )
+    SELECT 'clone' AS side, event_type, n_rows FROM d
+    UNION ALL
+    SELECT 'dim' AS side, event_type, n_rows FROM d
+    """,
+    note="multi-table transaction (sources/txn.py — branch-staged "
+         "writes + one WAL intent + roll-forward recovery, the "
+         "Iceberg/Nessie multi-table-commit analog): a DML DELETE on a "
+         "cloned fact table and a summary table DERIVED FROM THE STAGED "
+         "STATE are published together; the query reads BOTH tables "
+         "after commit — green means the fact delete and its dependent "
+         "summary became visible as one unit (per-type counts from the "
+         "two tables must be identical, this oracle)",
+)
+def multi_table_txn(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.dml import delete_where
+    from ..operators.merge import merge_into as _mi
+    from ..sources.lake import LakeTable
+    from ..sources.txn import MultiTableTransaction
+
+    src, _versions = _staged_events_table_shared(spark, sf)
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-txn-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    clone = src.clone(f"{root}/t")
+    dim = LakeTable.create(
+        spark, f"{root}/d",
+        T.StructType([
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+        ]),
+        merge_keys=("event_type",), n_buckets=2,
+    )
+    txn = MultiTableTransaction(f"{root}/wal")
+    bclone, bdim = txn.stage(clone), txn.stage(dim)
+    delete_where(bclone, "value >= 50")
+    summary = (
+        bclone.scan().groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(F.lit(1).cast("long").alias("lsn"), "event_type", "n_rows")
+    )
+    _mi(bdim, summary, batch_id="txn-summary")
+    txn.commit()
+    c = (
+        clone.scan().groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(F.lit("clone").alias("side"), "event_type", "n_rows")
+    )
+    d = dim.scan().select(F.lit("dim").alias("side"), "event_type", "n_rows")
+    return c.unionByName(d)
+
+
+@_reg(
     "gdpr_erase_cascade",
     """
     WITH s AS (
