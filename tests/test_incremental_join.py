@@ -234,3 +234,48 @@ def test_join_refresh_validation(spark, tables):
         refresh_join(left, dim, view, ("tier",), PROJECT, from_versions=(1, 1))
     with pytest.raises(ValueError, match="keyed on"):
         refresh_join(left, dim, dim, ("u",), PROJECT, from_versions=(1, 1))
+
+
+def test_join_refresh_prunes_live_scans_by_bucket(spark, tables):
+    """When the join column IS the left bucket key, both live-left
+    scans must read a pruned file subset (never files=None = whole
+    table), and every pruned file's bucket must be one a changed key
+    or changed dim value hashes to."""
+    left, dim, view = tables
+    merge_into(left, spark.createDataFrame(
+        [(i, u, k, float(u), "U") for i, (u, k) in
+         enumerate([(u, k) for u in range(8) for k in range(2)], 1)],
+        LEFT_DDL), op_col="op", batch_id="l1")
+    merge_into(dim, spark.createDataFrame(
+        [(100 + u, u, f"t{u}", "U") for u in range(8)], DIM_DDL),
+        op_col="op", batch_id="d1")
+    lv, rv = left.version, dim.version
+    refresh_join(left, dim, view, ("u",), PROJECT,
+                 from_versions=(1, 1), to_versions=(lv, rv))
+
+    # a small incremental step: one left upsert, one dim update
+    merge_into(left, spark.createDataFrame(
+        [(500, 3, 0, 33.0, "U")], LEFT_DDL), op_col="op", batch_id="l2")
+    merge_into(dim, spark.createDataFrame(
+        [(501, 5, "hot", "U")], DIM_DDL), op_col="op", batch_id="d2")
+
+    seen = []
+    orig = LakeTable.scan
+
+    def spy(self, *a, **kw):
+        if self.path == left.path and kw.get("version") == left.version:
+            seen.append(kw.get("files"))
+        return orig(self, *a, **kw)
+
+    LakeTable.scan = spy
+    try:
+        refresh_join(left, dim, view, ("u",), PROJECT,
+                     from_versions=(lv, rv))
+    finally:
+        LakeTable.scan = orig
+
+    live_scans = [f for f in seen if f is not None]
+    assert live_scans, "live-left scans were not file-pruned"
+    assert all(f is not None for f in seen), "a live scan read the whole table"
+    total = len(left.files())
+    assert all(len(f) < total for f in live_scans)
