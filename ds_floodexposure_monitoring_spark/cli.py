@@ -195,6 +195,8 @@ def cmd_maintain(args) -> int:
         analyze_stats=not args.no_analyze,
         keep_snapshots=args.keep_snapshots,
         orphan_grace_sec=args.orphan_grace_sec,
+        stale_txn_branch_sec=args.stale_txn_branch_sec,
+        txn_wal_dir=args.txn_wal_dir,
     )
     if args.dry_run:
         _emit({"op": "maintain", "table_dir": args.table_dir, "dry_run": True,
@@ -721,6 +723,12 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--no-analyze", action="store_true")
     mt.add_argument("--keep-snapshots", type=int, default=8)
     mt.add_argument("--orphan-grace-sec", type=float, default=3600.0)
+    mt.add_argument("--stale-txn-branch-sec", type=float, default=86400.0,
+                    help="GC abandoned txn-* stage branches older than this "
+                         "(they pin snapshot chains from expiry)")
+    mt.add_argument("--txn-wal-dir", default=None,
+                    help="transaction WAL dir: branches with a PENDING "
+                         "intent there are never GC'd")
     mt.set_defaults(fn=cmd_maintain)
 
     e = sub.add_parser("expire", help="expire snapshots + vacuum orphan files")

@@ -28,6 +28,7 @@ sequences by hand.
 
 from __future__ import annotations
 
+import os
 from dataclasses import asdict, dataclass
 
 from ..sources.lake import LakeTable
@@ -51,6 +52,15 @@ class MaintenancePolicy:
     analyze_stats: bool = True
     keep_snapshots: int = 8
     orphan_grace_sec: float = 0.0
+    # GC for abandoned transaction stages: a coordinator that crashed
+    # BEFORE its WAL intent leaves txn-* branches with no record — and
+    # every branch head protects its snapshot chain from expiry, so an
+    # abandoned stage pins storage forever. A txn-* branch older than
+    # this grace whose id has no pending WAL intent (in txn_wal_dir,
+    # when given) is dropped; pending intents are NEVER touched — they
+    # belong to sources.txn.recover(). None disables the GC.
+    stale_txn_branch_sec: float | None = 86_400.0
+    txn_wal_dir: str | None = None
 
 
 @dataclass(frozen=True)
@@ -64,6 +74,7 @@ class MaintenancePlan:
     total_rows: int
     deficient_files: int
     snapshots_over: int
+    stale_txn_branches: int = 0
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -74,7 +85,38 @@ class MaintenancePlan:
             self.compact_mode is None
             and self.deficient_files == 0
             and self.snapshots_over == 0
+            and self.stale_txn_branches == 0
         )
+
+
+def _stale_txn_branches(
+    table: LakeTable, policy: MaintenancePolicy
+) -> list[str]:
+    """txn-* branches old enough to be abandoned stages (and, when the
+    WAL dir is known, provably without a pending intent)."""
+    import glob
+    import time
+
+    if policy.stale_txn_branch_sec is None:
+        return []
+    pending: set[str] = set()
+    if policy.txn_wal_dir:
+        for p in glob.glob(os.path.join(policy.txn_wal_dir, "txn-*.json")):
+            if not p.endswith(".done.json"):
+                pending.add(os.path.basename(p)[: -len(".json")])
+    now = time.time()
+    out = []
+    for name in table.branches():
+        if not name.startswith("txn-") or name in pending:
+            continue
+        head = os.path.join(table._meta_dir, f"HEAD.{name}")
+        try:
+            age = now - os.path.getmtime(head)
+        except FileNotFoundError:
+            continue
+        if age >= policy.stale_txn_branch_sec:
+            out.append(name)
+    return out
 
 
 def plan_maintenance(
@@ -117,6 +159,7 @@ def plan_maintenance(
         total_rows=total_rows,
         deficient_files=deficient,
         snapshots_over=snapshots_over,
+        stale_txn_branches=len(_stale_txn_branches(table, policy)),
     )
 
 
@@ -157,6 +200,13 @@ def run_maintenance(
     report["analyze"] = None if ast is None else {
         "files_analyzed": ast.files_analyzed,
     }
+
+    # drop abandoned txn stages BEFORE expiry: their branch heads would
+    # otherwise protect the very snapshot chains expiry should reclaim
+    dropped = _stale_txn_branches(table, policy)
+    for name in dropped:
+        table.drop_branch(name)
+    report["txn_branches_dropped"] = dropped
 
     exp = table.expire_snapshots(
         keep_last=policy.keep_snapshots,

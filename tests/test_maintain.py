@@ -97,3 +97,49 @@ def test_stats_ddl_makes_files_deficient_then_analyze_heals(spark, tmpdir_path):
     assert rep["analyze"]["files_analyzed"] == plan.deficient_files
     assert plan_maintenance(t).nothing_to_do
     assert t.col_sum("n") == sum(range(20))
+
+
+def test_stale_txn_branch_gc(spark, tmpdir_path):
+    """An abandoned pre-WAL txn stage pins its snapshot chain via the
+    branch head; maintenance GCs it (never a pending one) so expiry can
+    reclaim storage."""
+    import os as _os
+
+    from ds_floodexposure_monitoring_spark.sources.txn import (
+        MultiTableTransaction,
+    )
+
+    t = _mk(spark, tmpdir_path)
+    _append(spark, t, 0, 10, "a")
+    wal = _os.path.join(tmpdir_path, "wal")
+
+    # abandoned: staged, never committed, coordinator gone
+    dead = MultiTableTransaction(wal)
+    db = dead.stage(t)
+    _append(spark, db, 100, 105, "dead")
+    # pending: staged AND has a WAL intent (mid-commit crash)
+    from ds_floodexposure_monitoring_spark.sources.lake import _atomic_write
+    from ds_floodexposure_monitoring_spark.sources.txn import _wal_path
+    import json as _json
+
+    live = MultiTableTransaction(wal)
+    lb = live.stage(t)
+    _append(spark, lb, 200, 205, "live")
+    _atomic_write(_wal_path(wal, live.txn_id), _json.dumps({
+        "txn_id": live.txn_id, "branch": live.branch,
+        "tables": [{"path": t.path, "target_version": lb.version}]}))
+
+    pol = MaintenancePolicy(
+        compact_at_files=10_000, stale_txn_branch_sec=0.0, txn_wal_dir=wal,
+    )
+    plan = plan_maintenance(t, pol)
+    assert plan.stale_txn_branches == 1
+    rep = run_maintenance(t, pol)
+    assert rep["txn_branches_dropped"] == [dead.branch]
+    assert set(t.branches()) == {"main", live.branch}
+
+    # grace respected: a fresh stage with no WAL survives a sane grace
+    fresh = MultiTableTransaction(wal)
+    fresh.stage(t)
+    pol2 = MaintenancePolicy(stale_txn_branch_sec=3600.0, txn_wal_dir=wal)
+    assert plan_maintenance(t, pol2).stale_txn_branches == 0
