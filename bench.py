@@ -89,6 +89,7 @@ HEADLINE = [
     "gdpr_erase_cascade",
     "read_optimized_scan",
     "table_maintenance",
+    "multi_table_txn",
 ]
 
 # sf0.1 -> 16M events: the same production-size-batch regime as
