@@ -466,17 +466,35 @@ def cmd_erase(args) -> int:
 
     spark = _spark(args, "cdc-erase")
     table = LakeTable.load(spark, args.table_dir)
-    key_type = table.schema()[table.merge_keys[0]].dataType.simpleString()
-    vals: list = [
-        int(v) if key_type in ("bigint", "int", "smallint", "tinyint") else v
-        for v in (s.strip() for s in args.keys.split(",")) if v
-    ]
+
+    def _cast_keys(t, col, raw):
+        dt = t.schema()[col].dataType.simpleString()
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            try:
+                return [int(v) for v in raw]
+            except ValueError:
+                raise SystemExit(
+                    f"erase: column {col!r} of {t.path} is {dt} but keys "
+                    f"{raw!r} are not integers — pass --sidecar-keys with "
+                    "ids mapped into that table's key space"
+                )
+        return list(raw)
+
+    raw_keys = [s.strip() for s in args.keys.split(",") if s.strip()]
+    vals = _cast_keys(table, table.merge_keys[0], raw_keys)
+    mapped = {}
+    for spec in args.sidecar_keys or []:
+        label, keys = spec.split("=", 1)
+        mapped[label] = [s.strip() for s in keys.split(",") if s.strip()]
     sidecars = {}
     for spec in args.sidecar or []:
-        # label=path:col — erase the same keys from that table's col
+        # label=path:col — erase from that table's col, using the base
+        # keys (cast into the sidecar column's type) or the explicitly
+        # mapped --sidecar-keys for cross-id-space indexes
         label, rest = spec.split("=", 1)
         path, col = rest.rsplit(":", 1)
-        sidecars[label] = (LakeTable.load(spark, path), col)
+        st = LakeTable.load(spark, path)
+        sidecars[label] = (st, col, _cast_keys(st, col, mapped.get(label, raw_keys)))
     rep = erase_cascade(
         table, vals, sidecars=sidecars,
         expire_keep_last=args.expire_keep_last,
@@ -791,6 +809,11 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="LABEL=PATH:COL",
                     help="also erase the keys from this table's column "
                          "(repeatable), e.g. ix=/lake/ix_role:conv_id")
+    er.add_argument("--sidecar-keys", action="append", default=None,
+                    metavar="LABEL=V1,V2",
+                    help="per-sidecar key values for indexes keyed in a "
+                         "different id space (e.g. the LSH index's long "
+                         "doc_id for a string conv_id)")
     er.add_argument("--expire-keep-last", type=int, default=None,
                     help="after erasing, expire all but the last N snapshots "
                          "on every touched table (physically deletes the "

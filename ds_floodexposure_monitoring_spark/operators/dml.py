@@ -245,38 +245,26 @@ def delete_matching(
     return _rewrite(table, buckets, matched, transform, "delete-matching", target_rows_per_file)
 
 
-def _delete_matching_pointwise(
-    table: LakeTable, vals: list, target_rows_per_file: int
-) -> DmlStats | None:
-    """File-granular GDPR erase for a bounded key list.
-
-    ``prune_for_keys`` is SOUND (a file it drops cannot hold any doomed
-    key — bucket hash, min/max range, and the manifest key bloom all
-    prove absence), so every version of every doomed key lives in the
-    kept files; rewriting those verbatim-minus-doomed erases the keys
-    completely. The rewrite is strictly per-row (raw scan,
-    ``resolve=False``): no partial LWW fold of other keys whose version
-    chains extend outside the file subset, so ``requires_resolve`` and
-    the base/delta manifest flags carry through unchanged and no
-    key-closure expansion is needed — the exact reason this path can
-    touch O(keys) files where the resolving bucket path must take whole
-    buckets."""
-    key0 = table.merge_keys[0]
+def _rewrite_verbatim(
+    table: LakeTable,
+    victims: list,
+    keep: Column,
+    operation: str,
+    summary_extra: dict,
+    target_rows_per_file: int,
+    expected_removed: int | None = None,
+) -> DmlStats:
+    """Rewrite ``victims`` verbatim-minus-rows-failing-``keep``: raw
+    scan (``resolve=False``, no LWW fold — a key's version chain may
+    extend outside the subset), base and delta groups written separately
+    so each rewritten file keeps its manifest flag, one atomic commit.
+    Shared engine of the pointwise GDPR delete and ``erase_rows``.
+    ``expected_removed``: raise if the rewrite didn't drop exactly this
+    many rows (the erase-consistency invariant)."""
     cur = table.current()
-    victims = table.prune_for_keys(vals, snapshot=cur)
-    if not victims:
-        return None
-    # exact live-match count: resolved lookup over the same pruned set
-    # (sound per prune_for_keys; non-doomed keys are filtered out)
-    matched = table.lookup(vals).count()
-    keep = ~F.coalesce(F.col(key0).isin(vals), F.lit(False))
-
     new_files = []
-    total_rows = 0
-    # base and delta victims are written separately so each rewritten
-    # file keeps its manifest flag (a base demoted to delta would get
-    # refolded by the next minor compaction — the jumbo-delta problem
-    # the flag exists to prevent)
+    total_in = sum(f.rows for f in victims)
+    total_out = 0
     for mark_base in (True, False):
         group = [f for f in victims if f.base == mark_base]
         if not group:
@@ -296,27 +284,70 @@ def _delete_matching_pointwise(
         )
         _check_write_consistency(int(obs.get["rows"]), written)
         new_files.extend(written)
-        total_rows += sum(f.rows for f in written)
+        total_out += sum(f.rows for f in written)
 
+    removed = total_in - total_out
+    if expected_removed is not None and removed != expected_removed:
+        raise RuntimeError(
+            f"{operation} consistency: expected to remove "
+            f"{expected_removed} rows but the rewrite dropped {removed} "
+            f"({total_in} in, {total_out} out)"
+        )
     snap = table.commit_retrying(
         {f.path for f in victims},
         new_files,
-        operation="delete-matching",
+        operation=operation,
         validation="rewrite",
         expected_parent_version=cur["version"],
-        summary_extra={
-            "buckets_rewritten": len({f.bucket for f in victims}),
-            "rows_matched": matched,
-            "pointwise_files": len(victims),
-        },
+        summary_extra=summary_extra,
     )
     return DmlStats(
         buckets_rewritten=len({f.bucket for f in victims}),
         files_removed=len(victims),
         files_added=len(new_files),
-        rows_matched=matched,
+        rows_matched=removed,
         snapshot_version=snap["version"],
     )
+
+
+def _delete_matching_pointwise(
+    table: LakeTable, vals: list, target_rows_per_file: int
+) -> DmlStats | None:
+    """File-granular GDPR erase for a bounded key list.
+
+    ``prune_for_keys`` is SOUND (a file it drops cannot hold any doomed
+    key — bucket hash, min/max range, and the manifest key bloom all
+    prove absence), so every version of every doomed key lives in the
+    kept files; rewriting those verbatim-minus-doomed erases the keys
+    completely. The rewrite is strictly per-row (raw scan,
+    ``resolve=False``): no partial LWW fold of other keys whose version
+    chains extend outside the file subset, so ``requires_resolve`` and
+    the base/delta manifest flags carry through unchanged and no
+    key-closure expansion is needed — the exact reason this path can
+    touch O(keys) files where the resolving bucket path must take whole
+    buckets."""
+    import dataclasses
+
+    key0 = table.merge_keys[0]
+    victims = table.prune_for_keys(vals)
+    if not victims:
+        return None
+    # exact live-match count: resolved lookup over the same pruned set
+    # (sound per prune_for_keys; non-doomed keys are filtered out)
+    matched = table.lookup(vals).count()
+    keep = ~F.coalesce(F.col(key0).isin(vals), F.lit(False))
+    stats = _rewrite_verbatim(
+        table, victims, keep, "delete-matching",
+        summary_extra={
+            "buckets_rewritten": len({f.bucket for f in victims}),
+            "rows_matched": matched,
+            "pointwise_files": len(victims),
+        },
+        target_rows_per_file=target_rows_per_file,
+    )
+    # DmlStats.rows_matched reports LIVE matches (delete semantics),
+    # not raw row versions removed
+    return dataclasses.replace(stats, rows_matched=matched)
 
 
 def update_where(

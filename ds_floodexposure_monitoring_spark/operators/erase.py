@@ -45,13 +45,10 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 from ..sources.lake import DataFile, LakeTable
-from .dml import DmlStats, _reject_partial_update
-from .merge import _check_write_consistency
-from .skew import plan_bucket_splits, with_salted_split
+from .dml import DmlStats, _reject_partial_update, _rewrite_verbatim
 
 
 def _files_maybe_containing(
@@ -97,6 +94,22 @@ def erase_rows(
     vals = [v for v in vals if v is not None]
     if not vals:
         return None
+    # type-family guard: a string probe against a numeric column (or
+    # vice versa) can never match — isin() would silently erase nothing
+    # while the caller believes the GDPR request succeeded. Fail loudly;
+    # the caller must map ids into the sidecar's key space first.
+    dt = schema[col].dataType.simpleString()
+    integral = dt in ("bigint", "int", "smallint", "tinyint")
+    if integral and not all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        raise TypeError(
+            f"column {col!r} is {dt} but the erase values include "
+            f"non-integers — map the ids into this table's key space"
+        )
+    if dt == "string" and not all(isinstance(v, str) for v in vals):
+        raise TypeError(
+            f"column {col!r} is string but the erase values include "
+            f"non-strings — map the ids into this table's key space"
+        )
     cur = table.current()
     victims = _files_maybe_containing(table, col, vals, cur)
     if not victims:
@@ -114,54 +127,15 @@ def erase_rows(
         return None
 
     keep = ~F.coalesce(F.col(col).isin(list(vals)), F.lit(False))
-    new_files = []
-    total_in = sum(f.rows for f in victims)
-    total_out = 0
-    for mark_base in (True, False):
-        group = [f for f in victims if f.base == mark_base]
-        if not group:
-            continue
-        df = table.scan(files=group, include_internal=True, resolve=False)
-        out = df.where(keep).withColumn("b", table.bucket_expr())
-        obs = Observation()
-        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-        per_bucket: dict[int, int] = {}
-        for f in group:
-            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + f.rows
-        splits = plan_bucket_splits(list(per_bucket.items()), target_rows_per_file)
-        to_write = with_salted_split(out, "b", splits, salt_cols=table.merge_keys)
-        written = table.write_data_files(
-            to_write, table.schema(cur), cur["schema_version"],
-            sort_by=table.merge_keys, mark_base=mark_base,
-        )
-        _check_write_consistency(int(obs.get["rows"]), written)
-        new_files.extend(written)
-        total_out += sum(f.rows for f in written)
-
-    matched = total_in - total_out
-    if matched != doomed:
-        raise RuntimeError(
-            f"erase consistency: {doomed} rows matched but the rewrite "
-            f"dropped {matched} ({total_in} in, {total_out} out)"
-        )
-    snap = table.commit_retrying(
-        {f.path for f in victims},
-        new_files,
-        operation="erase",
-        validation="rewrite",
-        expected_parent_version=cur["version"],
+    return _rewrite_verbatim(
+        table, victims, keep, "erase",
         summary_extra={
             "erase_col": col,
-            "rows_erased": matched,
+            "rows_erased": doomed,
             "files_inspected": len(victims),
         },
-    )
-    return DmlStats(
-        buckets_rewritten=len({f.bucket for f in victims}),
-        files_removed=len(victims),
-        files_added=len(new_files),
-        rows_matched=matched,
-        snapshot_version=snap["version"],
+        target_rows_per_file=target_rows_per_file,
+        expected_removed=doomed,
     )
 
 

@@ -56,9 +56,12 @@ class MaintenancePolicy:
     # BEFORE its WAL intent leaves txn-* branches with no record — and
     # every branch head protects its snapshot chain from expiry, so an
     # abandoned stage pins storage forever. A txn-* branch older than
-    # this grace whose id has no pending WAL intent (in txn_wal_dir,
-    # when given) is dropped; pending intents are NEVER touched — they
-    # belong to sources.txn.recover(). None disables the GC.
+    # this grace whose id has no pending WAL intent in txn_wal_dir is
+    # dropped; pending intents are NEVER touched — they belong to
+    # sources.txn.recover(). The GC runs ONLY when txn_wal_dir is given:
+    # without the WAL dir, "no pending intent" cannot be proven, and
+    # dropping a pending transaction's stage branch would permanently
+    # break its roll-forward. None grace also disables the GC.
     stale_txn_branch_sec: float | None = 86_400.0
     txn_wal_dir: str | None = None
 
@@ -97,13 +100,14 @@ def _stale_txn_branches(
     import glob
     import time
 
-    if policy.stale_txn_branch_sec is None:
+    if policy.stale_txn_branch_sec is None or not policy.txn_wal_dir:
+        # no WAL dir -> cannot prove a branch has no pending intent;
+        # dropping one mid-commit would break roll-forward recovery
         return []
     pending: set[str] = set()
-    if policy.txn_wal_dir:
-        for p in glob.glob(os.path.join(policy.txn_wal_dir, "txn-*.json")):
-            if not p.endswith(".done.json"):
-                pending.add(os.path.basename(p)[: -len(".json")])
+    for p in glob.glob(os.path.join(policy.txn_wal_dir, "txn-*.json")):
+        if not p.endswith(".done.json"):
+            pending.add(os.path.basename(p)[: -len(".json")])
     now = time.time()
     out = []
     for name in table.branches():
@@ -126,21 +130,40 @@ def plan_maintenance(
     maintenance is due."""
     cur = table.current()
     files = table.files(cur)
-    by_bucket: dict[int, int] = {}
+    by_bucket: dict[int, list] = {}
     delta_rows = 0
     total_rows = 0
     for f in files:
-        by_bucket[f.bucket] = by_bucket.get(f.bucket, 0) + 1
+        by_bucket.setdefault(f.bucket, []).append(f)
         total_rows += f.rows
         if not f.base:
             delta_rows += f.rows
-    buckets_over = sum(
-        1 for n in by_bucket.values() if n >= policy.compact_at_files
+    # mirror compact()'s victim rules EXACTLY, else the cycle can plan
+    # work compact() refuses (or re-plan buckets a rewrite cannot
+    # shrink — e.g. a fully-compacted bucket whose rows legitimately
+    # span >= compact_at_files base files) and never converge:
+    # minor folds buckets with >= max(n-1, 2) DELTA files; major
+    # rewrites buckets with >= n total files, but is only WORTH running
+    # where at least one delta exists (base-only buckets re-emerge at
+    # the same file count)
+    n = policy.compact_at_files
+    minor_over = sum(
+        1 for fs in by_bucket.values()
+        if sum(not f.base for f in fs) >= max(n - 1, 2)
     )
-    compact_mode = None
-    if buckets_over:
-        ratio = delta_rows / total_rows if total_rows else 0.0
-        compact_mode = "major" if ratio > policy.major_delta_ratio else "minor"
+    major_over = sum(
+        1 for fs in by_bucket.values()
+        if len(fs) >= n and any(not f.base for f in fs)
+    )
+    ratio = delta_rows / total_rows if total_rows else 0.0
+    if ratio > policy.major_delta_ratio and major_over:
+        compact_mode, buckets_over = "major", major_over
+    elif minor_over:
+        compact_mode, buckets_over = "minor", minor_over
+    elif major_over:
+        compact_mode, buckets_over = "major", major_over
+    else:
+        compact_mode, buckets_over = None, 0
 
     deficient = 0
     if policy.analyze_stats:

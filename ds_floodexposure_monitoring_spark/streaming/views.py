@@ -49,24 +49,55 @@ from ..operators.incremental import (
 from ..operators.merge import merge_into
 from ..sources.lake import LakeTable, _atomic_write
 
-# NOT "v*.json": the meta dir's snapshot discovery globs that pattern
-_CURSOR = "cursor_view.json"
+def _cursor_path(derived: LakeTable, kind: str) -> str:
+    # per-kind filename (NOT "v*.json" — the meta dir's snapshot
+    # discovery globs that pattern): re-attaching a derived table to a
+    # different view kind must re-bootstrap, never misread the other
+    # kind's cursor schema
+    return os.path.join(derived._meta_dir, f"cursor_view_{kind}.json")
 
 
-def _cursor_path(derived: LakeTable) -> str:
-    return os.path.join(derived._meta_dir, _CURSOR)
-
-
-def _read_cursor(derived: LakeTable) -> dict | None:
+def _read_cursor(derived: LakeTable, kind: str) -> dict | None:
     try:
-        with open(_cursor_path(derived)) as f:
+        with open(_cursor_path(derived, kind)) as f:
             return json.load(f)
     except FileNotFoundError:
         return None
 
 
-def _write_cursor(derived: LakeTable, payload: dict) -> None:
-    _atomic_write(_cursor_path(derived), json.dumps(payload))
+def _write_cursor(derived: LakeTable, kind: str, payload: dict) -> None:
+    _atomic_write(_cursor_path(derived, kind), json.dumps(payload))
+
+
+_VLSN = "_view_lsn"
+_VOP = "_view_op"
+
+
+def _bootstrap_merge(derived: LakeTable, keys: list[str], full, lsn: int,
+                     batch_id: str) -> None:
+    """Full-recompute bootstrap WITH delete reconciliation: rows already
+    in the derived table but absent from the recomputed full state are
+    tombstoned in the same merge. Without this, a bootstrap retried
+    after a crash (cursor lost, base advanced past deletes) would leave
+    the vanished keys in the view forever — they never appear in any
+    later change-feed window."""
+    full = full.withColumn(_VLSN, F.lit(lsn).cast("long"))
+    data_cols = [c for c in full.columns if c not in keys and c != _VLSN]
+    types = {f.name: f.dataType for f in full.schema.fields}
+    stale = derived.scan().select(*keys).join(
+        full.select(*keys), on=keys, how="left_anti"
+    )
+    deletes = stale.select(
+        *keys,
+        *[F.lit(None).cast(types[c]).alias(c) for c in data_cols],
+        F.lit(lsn).cast("long").alias(_VLSN),
+    )
+    batch = (
+        full.withColumn(_VOP, F.lit("U"))
+        .unionByName(deletes.withColumn(_VOP, F.lit("D")))
+    )
+    merge_into(derived, batch, lsn_col=_VLSN, op_col=_VOP, delete_op="D",
+               batch_id=batch_id)
 
 
 class RollupView:
@@ -86,19 +117,19 @@ class RollupView:
         self.group_keys = list(group_keys)
         self.agg_exprs = agg_exprs
 
+    KIND = "rollup"
+
     def _bootstrap(self) -> None:
         head = self.base.version
         full = rollup_state(
             self.base.scan(version=head), self.group_keys, self.agg_exprs
-        ).withColumn("_view_lsn", F.lit(head).cast("long"))
-        merge_into(
-            self.derived, full, lsn_col="_view_lsn",
-            batch_id=f"viewboot-{self.derived.path}-{head}",
         )
-        _write_cursor(self.derived, {"base_version": head})
+        _bootstrap_merge(self.derived, self.group_keys, full, head,
+                         f"viewboot-{self.derived.path}-{head}")
+        _write_cursor(self.derived, self.KIND, {"base_version": head})
 
     def refresh(self) -> None:
-        cur = _read_cursor(self.derived)
+        cur = _read_cursor(self.derived, self.KIND)
         if cur is None:
             self._bootstrap()
             return
@@ -109,7 +140,7 @@ class RollupView:
             self.base, self.derived, self.group_keys, self.agg_exprs,
             from_version=cur["base_version"], to_version=head,
         )
-        _write_cursor(self.derived, {"base_version": head})
+        _write_cursor(self.derived, self.KIND, {"base_version": head})
 
 
 class JoinView:
@@ -133,20 +164,21 @@ class JoinView:
         self.project = project
         self.how = how
 
+    KIND = "join"
+
     def _bootstrap(self) -> None:
         lv, rv = self.base.version, self.dim.version
         full = join_state(
             self.base.scan(version=lv), self.dim.scan(version=rv),
             self.on, self.base.merge_keys, self.project, how=self.how,
-        ).withColumn("_view_lsn", F.lit(lv + rv).cast("long"))
-        merge_into(
-            self.derived, full, lsn_col="_view_lsn",
-            batch_id=f"viewboot-{self.derived.path}-{lv}.{rv}",
         )
-        _write_cursor(self.derived, {"left_version": lv, "right_version": rv})
+        _bootstrap_merge(self.derived, list(self.base.merge_keys), full,
+                         lv + rv, f"viewboot-{self.derived.path}-{lv}.{rv}")
+        _write_cursor(self.derived, self.KIND,
+                      {"left_version": lv, "right_version": rv})
 
     def refresh(self) -> None:
-        cur = _read_cursor(self.derived)
+        cur = _read_cursor(self.derived, self.KIND)
         if cur is None:
             self._bootstrap()
             return
@@ -158,4 +190,5 @@ class JoinView:
             from_versions=(cur["left_version"], cur["right_version"]),
             to_versions=(lv, rv), how=self.how,
         )
-        _write_cursor(self.derived, {"left_version": lv, "right_version": rv})
+        _write_cursor(self.derived, self.KIND,
+                      {"left_version": lv, "right_version": rv})

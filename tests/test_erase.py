@@ -167,3 +167,13 @@ def test_erase_on_non_stat_column_is_sound(spark, tmpdir_path):
     assert "v3b" not in vals and "v6" not in vals
     # other rows untouched — value erase targeted exact values, not keys
     assert {"v1", "v2b", "v4"} <= vals
+
+
+def test_erase_rows_rejects_type_mismatch(spark, tmpdir_path):
+    """String ids probed against a numeric column would silently match
+    nothing — the guard fails loudly instead."""
+    base = _mk_base(spark, tmpdir_path)
+    with pytest.raises(TypeError, match="key space"):
+        erase_rows(base, "uid", ["c1", "c2"])
+    with pytest.raises(TypeError, match="key space"):
+        erase_rows(base, "val", [1, 2])

@@ -143,3 +143,22 @@ def test_stale_txn_branch_gc(spark, tmpdir_path):
     fresh.stage(t)
     pol2 = MaintenancePolicy(stale_txn_branch_sec=3600.0, txn_wal_dir=wal)
     assert plan_maintenance(t, pol2).stale_txn_branches == 0
+
+
+def test_converges_on_multi_base_file_buckets(spark, tmpdir_path):
+    """A fully-compacted bucket whose rows legitimately span many base
+    files must NOT re-plan compaction forever."""
+    t = _mk(spark, tmpdir_path)
+    for b in range(4):
+        _append(spark, t, b * 100, b * 100 + 100, f"b{b}")
+    pol = MaintenancePolicy(compact_at_files=2, keep_snapshots=2,
+                            target_rows_per_file=50)  # forces >=4 base files/bucket
+    rep = run_maintenance(t, pol)
+    assert rep["compact"] is not None
+    files_per_bucket = {}
+    for f in t.files():
+        files_per_bucket[f.bucket] = files_per_bucket.get(f.bucket, 0) + 1
+        assert f.base
+    assert max(files_per_bucket.values()) >= pol.compact_at_files
+    plan2 = plan_maintenance(t, pol)
+    assert plan2.compact_mode is None and plan2.nothing_to_do

@@ -23,6 +23,7 @@ from ds_floodexposure_monitoring_spark.streaming.views import (
     JoinView,
     RollupView,
     _cursor_path,
+    _read_cursor,
 )
 
 SCHEMA = T.StructType([
@@ -122,13 +123,13 @@ def test_views_maintained_across_batches(spark, tmpdir_path):
     # crash window A: derived committed, cursor lost -> re-bootstrap
     # converges to the same state
     state = _roll_state(roll)
-    os.remove(_cursor_path(roll))
+    os.remove(_cursor_path(roll, "rollup"))
     RollupView(t, roll, ("conv_id",), AGGS).refresh()
     assert _roll_state(roll) == state
 
     # crash window B: cursor rolled back to a covered window -> the
     # re-run is an idempotent overwrite
-    cp = _cursor_path(jv)
+    cp = _cursor_path(jv, "join")
     saved = open(cp).read()
     prev = json.loads(saved)
     prev["left_version"] = max(1, prev["left_version"] - 2)
@@ -167,3 +168,30 @@ def test_view_bootstrap_over_existing_table(spark, tmpdir_path):
         batch_id="post")
     v.refresh()  # incremental from the cursor
     assert _roll_state(roll) == [("c1", 2, 1), ("c2", 2, 1)]
+
+
+def test_rebootstrap_reconciles_deletes(spark, tmpdir_path):
+    """Crash window: bootstrap committed, cursor lost, base rows deleted
+    before the retry — the re-bootstrap must tombstone the vanished
+    groups, not leave them in the view forever."""
+    t, dim, roll, _ = _mk_tables(spark, tmpdir_path)
+    ddl = ("lsn long, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    merge_into(t, spark.createDataFrame(
+        [(1, "c1", 0, "user", "hi", None, None),
+         (2, "c2", 0, "user", "hey", None, None)], ddl), batch_id="pre")
+    v = RollupView(t, roll, ("conv_id",), AGGS)
+    v.refresh()
+    assert _roll_state(roll) == [("c1", 1, 0), ("c2", 1, 0)]
+    # crash: cursor lost; then every c2 row is deleted in the base
+    os.remove(_cursor_path(roll, "rollup"))
+    merge_into(t, spark.createDataFrame(
+        [(9, "c2", 0, "user", None, None, None)],
+        "lsn long, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        ).withColumn("op", F.lit("D")), op_col="op", batch_id="del")
+    RollupView(t, roll, ("conv_id",), AGGS).refresh()  # re-bootstrap
+    assert _roll_state(roll) == [("c1", 1, 0)]  # c2 reconciled away
+
+    # kind-namespaced cursors: attaching the same derived table to a
+    # JoinView must re-bootstrap, not misread the rollup cursor
+    assert _read_cursor(roll, "join") is None
