@@ -44,6 +44,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -1220,6 +1221,45 @@ class LakeTable:
     def snapshot(self, version: int) -> dict:
         with open(self._snap_path(version)) as f:
             return json.load(f)
+
+    def version_at(self, ts) -> int:
+        """TIMESTAMP AS OF addressing (Iceberg snapshot-log analog):
+        the newest RETAINED snapshot on this branch's history whose
+        commit time is <= ``ts`` (a unix float or an aware/naive-UTC
+        datetime). Compose with ``scan(version=...)`` /
+        ``scan_changes`` for as-of reads and between-times feeds.
+        Snapshots written before the ``committed_at`` field fall back
+        to their metadata file's mtime (same clock, written at commit).
+        Raises if every retained snapshot is newer than ``ts`` — the
+        asked-for history has been expired, the time-travel analog of
+        FeedLagError's loud refusal."""
+        if isinstance(ts, datetime.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            ts = ts.timestamp()
+        # restrict to THIS branch's ancestry: version numbers are global
+        # across branches, so a side branch's higher-numbered snapshot
+        # must never answer for main
+        by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+        cur: dict | None = self.current()
+        best = None
+        while cur is not None:
+            at = cur.get("committed_at")
+            if at is None:
+                try:
+                    at = os.path.getmtime(self._snap_path(cur["version"]))
+                except FileNotFoundError:
+                    break
+            if at <= ts:
+                best = cur["version"]
+                break  # ancestry is time-ordered; first hit is newest
+            cur = by_id.get(cur.get("parent"))
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before {ts}: history has "
+                "been expired past the requested time"
+            )
+        return best
 
     def snapshots(self) -> list[dict]:
         """All retained snapshots, oldest first (early versions may have
@@ -2550,6 +2590,9 @@ class LakeTable:
             "renames": cur.get("renames", []) + (renames_extra or []),
             "files": files,
             "requires_resolve": requires_resolve,
+            # wall-clock commit time (Iceberg snapshot timestamp-ms
+            # analog) — drives TIMESTAMP AS OF addressing (version_at)
+            "committed_at": time.time(),
             "summary": {
                 "operation": operation,
                 "total_rows": sum(d["rows"] for d in files),
