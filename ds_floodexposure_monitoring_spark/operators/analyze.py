@@ -139,9 +139,19 @@ def _physical_names(
                 p = r["to"]
         return p
 
+    # Invert deterministically: only chain ROOTS are physical names in
+    # this file's epoch — a rename TARGET did not exist then (the
+    # rename's destination must be free), so an identity candidate for
+    # a targeted name is spurious. (The old set-union iteration let
+    # hash order pick between the root and the identity, silently
+    # recording [0,0] for pre-rename files on bad seeds.)
+    targets = {r["to"] for r in applicable}
     inv: dict = {}
-    for p in set(logical) | {r["from"] for r in applicable}:
+    for p in {r["from"] for r in applicable} - targets:
         inv.setdefault(fwd(p), p)
+    for c in logical:
+        if c not in targets and fwd(c) == c:
+            inv.setdefault(c, c)
     return {c: inv.get(c) for c in logical}
 
 

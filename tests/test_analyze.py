@@ -194,3 +194,29 @@ def test_analyze_never_resurrects_dropped_values(spark, tmpdir_path):
     assert t.col_sum("x") == want
     # the old 1000s must NOT appear: only b2's 7s are live x values
     assert want == 7 * 10
+
+
+def test_physical_names_deterministic_mapping():
+    """Pure unit pin for the rename inversion: chain roots win over
+    identity regardless of hash/iteration order (a set-order flake once
+    let a rename TARGET map to itself for pre-rename files, recording
+    [0,0] sums)."""
+    from ds_floodexposure_monitoring_spark.operators.analyze import (
+        _physical_names,
+    )
+
+    ren = [{"from": "y", "to": "z", "at_schema_version": 2}]
+    assert _physical_names(ren, 1, ["k", "z"]) == {"k": "k", "z": "y"}
+    assert _physical_names(ren, 2, ["k", "z"]) == {"k": "k", "z": "z"}
+    # chain a->b->c: oldest files read the root, mid-epoch files read b
+    chain = [
+        {"from": "a", "to": "b", "at_schema_version": 2},
+        {"from": "b", "to": "c", "at_schema_version": 3},
+    ]
+    assert _physical_names(chain, 1, ["c"]) == {"c": "a"}
+    assert _physical_names(chain, 2, ["c"]) == {"c": "b"}
+    assert _physical_names(chain, 3, ["c"]) == {"c": "c"}
+    # drop (rename to hidden) then re-add: pre-drop bytes must NOT
+    # resurrect -> None
+    drop = [{"from": "x", "to": "_dropped_x", "at_schema_version": 2}]
+    assert _physical_names(drop, 1, ["x"]) == {"x": None}
