@@ -47,7 +47,8 @@ def _spark(args, app_name: str):
 
 
 def _emit(obj: dict) -> None:
-    print(json.dumps(obj))
+    # default=str: timestamps (e.g. history's committed_at) render ISO-ish
+    print(json.dumps(obj, default=str))
 
 
 def cmd_datagen(args) -> int:

@@ -1200,6 +1200,11 @@ class LakeTable:
         return os.path.join(self._meta_dir, f"v{version:08d}.json")
 
     def _write_snapshot(self, snap: dict) -> None:
+        # every snapshot carries its wall-clock commit time (Iceberg
+        # timestamp-ms analog; drives version_at) — stamped HERE so the
+        # hand-built snapshot paths (create/rollback/clone/DDL) get it
+        # too, not just commit()
+        snap.setdefault("committed_at", time.time())
         # exclusive-create is the CAS: two writers building the same next
         # version race on the snapshot file; the loser raises
         # CommitConflictError and must reload + retry (HEAD is only
@@ -2132,13 +2137,20 @@ class LakeTable:
                 int(s.get("summary", {}).get("total_rows", sum(d["rows"] for d in s["files"]))),
                 len(s["files"]),
                 s.get("requires_resolve", False),
+                # committed_at as UTC timestamp (None pre-field)
+                datetime.datetime.fromtimestamp(
+                    s["committed_at"], tz=datetime.timezone.utc
+                ).replace(tzinfo=None)
+                if s.get("committed_at") is not None
+                else None,
             )
             for s in self.snapshots()
         ]
         return self.spark.createDataFrame(
             rows,
             "version long, operation string, batch_id string, "
-            "schema_version long, total_rows long, n_files long, requires_resolve boolean",
+            "schema_version long, total_rows long, n_files long, "
+            "requires_resolve boolean, committed_at timestamp",
         )
 
     def file_manifest(self, version: int | None = None) -> DataFrame:
@@ -2590,9 +2602,6 @@ class LakeTable:
             "renames": cur.get("renames", []) + (renames_extra or []),
             "files": files,
             "requires_resolve": requires_resolve,
-            # wall-clock commit time (Iceberg snapshot timestamp-ms
-            # analog) — drives TIMESTAMP AS OF addressing (version_at)
-            "committed_at": time.time(),
             "summary": {
                 "operation": operation,
                 "total_rows": sum(d["rows"] for d in files),

@@ -69,6 +69,7 @@ def test_cli_lifecycle(spark, tmpdir_path, capsys):
     assert _run(capsys, ["show", "--table-dir", table])["live_rows"] == live
     h = _run(capsys, ["history", "--table-dir", table])
     assert h["snapshots"][-1]["operation"] == "rollback"
+    assert h["snapshots"][-1]["committed_at"]  # ISO string via _emit default=str
 
     # tag the restored state; WAP: branch-ingest fresh events, publish
     t = _run(capsys, ["tag", "--table-dir", table, "--name", "golden"])
