@@ -82,6 +82,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1-r2); the remaining 51 all have a green round-3 row.
 _CHECK_PRIORITY = (
     # new in round 5 (never driver-checked)
+    "pyds_scan",
+    "pyds_pushdown_lookup",
+    "streaming_pyds_change_feed",
     "quality_audit",
     "metadata_sum",
     "partition_sums_metadata",
@@ -131,12 +134,10 @@ _CHECK_PRIORITY = (
     "rollup_grouping_sets",
     "seasonal_climatology",
     "threshold_nullout",
-    "rank_avg_ties",
-    "dropna_clean",
-    "collect_qualifying_years",
     "transcript_assembly",
     # dedup_exact, minhash_lsh_pairs(+_xxh), neardup_clusters,
-    # ngram_jaccard_pairs and transcript_assembly_arrow dropped from the
+    # ngram_jaccard_pairs, transcript_assembly_arrow, rank_avg_ties,
+    # dropna_clean and collect_qualifying_years dropped from the
     # backfill to keep the window at 50 as round-5 queries land — their
     # r3 rows stay green in the cross-round union
 )

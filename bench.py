@@ -90,6 +90,9 @@ HEADLINE = [
     "read_optimized_scan",
     "table_maintenance",
     "multi_table_txn",
+    "pyds_scan",
+    "pyds_pushdown_lookup",
+    "streaming_pyds_change_feed",
 ]
 
 # sf0.1 -> 16M events: the same production-size-batch regime as

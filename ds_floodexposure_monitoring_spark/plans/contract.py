@@ -26,6 +26,19 @@ from .spec import QuerySpec, table
 DEC = "decimal(18,2)"
 REGISTRY: dict[str, QuerySpec] = {}
 
+def _tmpbase() -> str:
+    """Per-PROCESS scratch base for staged-table scaffolds. The roots
+    are deterministic per (tag, sf) so a process reuses its own staged
+    tables across calls, but two processes (a pytest run and a driver
+    sweep, say) must never share one: a rebuild rmtree's the directory
+    out from under the other process's open snapshot."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-run-{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 
 def _reg(name: str, sql: str | None, note: str = ""):
     def deco(fn):
@@ -153,7 +166,7 @@ def cdc_merge_full(spark: SparkSession, sf: str) -> DataFrame:
     # table; the dir is rebuilt on each call and reclaimed by the OS tmp
     # reaper between sessions
     tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-cdcmerge-{tag}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-cdcmerge-{tag}")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(
         spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"), n_buckets=8
@@ -229,7 +242,7 @@ def lake_partial_update_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
     schema = T.StructType([f for f in patch.schema.fields if f.name != "event_id"])
     tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-pumerge-{tag}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-pumerge-{tag}")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(
         spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
@@ -273,7 +286,7 @@ def _staged_events_table(
     ev = table(spark, sf, "events").select("event_id", "user_id", "event_type", "value", "ts")
     schema = T.StructType([f for f in ev.schema.fields if f.name != "event_id"])
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-{tag}-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-{tag}-{h}")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(
         spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
@@ -404,7 +417,7 @@ def change_feed_subscription(spark: SparkSession, sf: str) -> DataFrame:
 
     t, versions = _staged_events_table_shared(spark, sf)
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-feedcur-{h}")
+    d = os.path.join(_tmpbase(), f"sparkgraft-feedcur-{h}")
     shutil.rmtree(d, ignore_errors=True)
     cur = FeedCursor(d, "subscriber")
     cur.reset(versions[2])
@@ -503,7 +516,7 @@ def _staged_secondary_index_shared(spark: SparkSession, sf: str):
     import tempfile
 
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-secidx-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-secidx-{h}")
     shutil.rmtree(root, ignore_errors=True)
     idx = sx.create_index(spark, f"{root}/idx", t, "value", n_buckets=8)
     ev = table(spark, sf, "events").select(
@@ -779,7 +792,7 @@ def read_optimized_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
     schema = T.StructType([f for f in ev.schema.fields if f.name != "event_id"])
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-roscan-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-roscan-{h}")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(
         spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
@@ -1327,7 +1340,7 @@ def _staged_docs_sum_table_shared(
             return t
     tag = "docsump" if partitioned else "docsum"
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-{tag}-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-{tag}-{h}")
     shutil.rmtree(root, ignore_errors=True)
     fields = [T.StructField("doc_id", T.LongType(), False)]
     if partitioned:
@@ -1482,7 +1495,7 @@ def analyze_stats_backfill(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.lake import LakeTable
 
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-anlz-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-anlz-{h}")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(
         spark,
@@ -1703,7 +1716,7 @@ def dml_mor_correction(spark: SparkSession, sf: str) -> DataFrame:
     # compaction write only under the clone's root.
     src, _versions = _staged_events_table_shared(spark, sf)
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-dmlmor-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-dmlmor-{h}")
     shutil.rmtree(root, ignore_errors=True)
     t = src.clone(f"{root}/t")
     delete_where_mor(t, F.col("value") >= 95)
@@ -1746,7 +1759,7 @@ def clone_divergence(spark: SparkSession, sf: str) -> DataFrame:
 
     src, _versions = _staged_events_table_shared(spark, sf)
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-clonediv-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-clonediv-{h}")
     shutil.rmtree(root, ignore_errors=True)
     clone = src.clone(f"{root}/t")
     delete_where(clone, "value >= 50")
@@ -1801,7 +1814,7 @@ def multi_table_txn(spark: SparkSession, sf: str) -> DataFrame:
 
     src, _versions = _staged_events_table_shared(spark, sf)
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-txn-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-txn-{h}")
     shutil.rmtree(root, ignore_errors=True)
     clone = src.clone(f"{root}/t")
     dim = LakeTable.create(
@@ -1861,7 +1874,7 @@ def gdpr_erase_cascade(spark: SparkSession, sf: str) -> DataFrame:
 
     src, _versions = _staged_events_table_shared(spark, sf)
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-erase-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-erase-{h}")
     shutil.rmtree(root, ignore_errors=True)
     clone = src.clone(f"{root}/t")
     idx = sx.create_index(spark, f"{root}/ix", clone, "event_type")
@@ -1903,7 +1916,7 @@ def table_maintenance(spark: SparkSession, sf: str) -> DataFrame:
 
     src, _versions = _staged_events_table_shared(spark, sf)
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-maint-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-maint-{h}")
     shutil.rmtree(root, ignore_errors=True)
     clone = src.clone(f"{root}/t")
     run_maintenance(clone, MaintenancePolicy(compact_at_files=1,
@@ -1951,7 +1964,7 @@ def schema_evolution_merge(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "ts", "props"
     )
     h = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-schemaevo-{h}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-schemaevo-{h}")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(
         spark,
@@ -2331,7 +2344,7 @@ def derive_replace_quantile(spark: SparkSession, sf: str) -> DataFrame:
     b = _boundaries(spark, sf)
     schema = T.StructType(b.schema.fields)
     tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-replace-{tag}")
+    root = os.path.join(_tmpbase(), f"sparkgraft-replace-{tag}")
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(spark, f"{root}/t", schema, merge_keys=("event_type",), n_buckets=4)
     # run 1 writes a stale subset; run 2 must wholesale-replace it
@@ -2878,7 +2891,7 @@ def _events_duckdb(spark: SparkSession, sf: str) -> str:
     import duckdb
 
     tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"sparkgraft-opdb-{tag}.duckdb")
+    path = os.path.join(_tmpbase(), f"sparkgraft-opdb-{tag}.duckdb")
     if os.path.exists(path):
         return path
     tmp = f"{path}.build-{os.getpid()}"
@@ -3109,4 +3122,111 @@ def maxwell_decode_state(spark: SparkSession, sf: str) -> DataFrame:
         "props",
         F.timestamp_micros(F.col("ts")).cast("timestamp_ntz").alias("ts"),
         F.col("_lsn").alias("last_lsn"),
+    )
+
+
+# ------------------------------------------------- Python Data Source API
+@_reg(
+    "pyds_scan",
+    """
+    SELECT user_id, event_type, value, ts FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="PySpark-4 Python Data Source API: spark.read.format('lake') over "
+         "the staged 3-batch MOR table — partition = bucket, the LWW fold "
+         "runs bucket-locally in Arrow with ZERO shuffle (keys are bucket-"
+         "complete), resolved snapshots degrade to per-file parallelism "
+         "(sources/pyds.py). Oracle = the final LWW state over events.",
+)
+def pyds_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.pyds import register_lake_sources
+
+    t, _versions = _staged_events_table_shared(spark, sf)
+    register_lake_sources(spark)
+    return (
+        spark.read.format("lake")
+        .option("path", t.path)
+        .load()
+        .select("user_id", "event_type", "value", "ts")
+    )
+
+
+@_reg(
+    "pyds_pushdown_lookup",
+    """
+    SELECT user_id, event_type, value, ts FROM events
+    WHERE user_id IN (3, 7, 21, 48, 77)
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="Python DS filter pushdown (pushFilters): the IN-predicate on the "
+         "first merge key prunes FILES driver-side via manifest min/max + "
+         "key blooms before any I/O (the prune_for_keys analog with no "
+         "Spark job); Spark re-applies the filter so bloom false-keeps "
+         "never leak. Requires spark.sql.python.filterPushdown.enabled.",
+)
+def pyds_pushdown_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.pyds import register_lake_sources
+
+    t, _versions = _staged_events_table_shared(spark, sf)
+    register_lake_sources(spark)
+    return (
+        spark.read.format("lake")
+        .option("path", t.path)
+        .load()
+        .where(F.col("user_id").isin(3, 7, 21, 48, 77))
+        .select("user_id", "event_type", "value", "ts")
+    )
+
+
+@_reg(
+    "streaming_pyds_change_feed",
+    """
+    WITH h AS (SELECT (2*max(event_id))//3 AS cut FROM events),
+    b3 AS (
+      SELECT user_id, event_type, value, ts, event_id
+      FROM events, h WHERE event_id > cut
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    ),
+    prior AS (SELECT DISTINCT user_id, event_type FROM events, h WHERE event_id <= cut)
+    SELECT b3.user_id, b3.event_type, b3.value, b3.ts,
+           b3.event_id AS change_lsn,
+           CASE WHEN p.user_id IS NULL THEN 'insert' ELSE 'update' END AS change_type
+    FROM b3 LEFT JOIN prior p
+      ON b3.user_id = p.user_id AND b3.event_type = p.event_type
+    """,
+    note="Structured Streaming over the Python DS change-feed source: "
+         "spark.readStream.format('lake_cdc') tails the table with "
+         "snapshot versions as checkpointable offsets; each micro-batch "
+         "is the per-changed-bucket snapshot diff computed inside the "
+         "partition (zero shuffle). Oracle = the cdc_change_feed SQL "
+         "(same diff window, batch 2 -> batch 3).",
+)
+def streaming_pyds_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.pyds import register_lake_sources
+
+    t, versions = _staged_events_table_shared(spark, sf)
+    register_lake_sources(spark)
+    # parquet sink, not format("memory"): memory-sink tables live on the
+    # session the STREAM ran on — under a harness that re-wraps sessions
+    # the read-back can miss (the round-3 streaming-query lesson)
+    out = tempfile.mkdtemp(prefix="pydscdc-out-")
+    ckpt = tempfile.mkdtemp(prefix="pydscdc-ckpt-")
+    src = (
+        spark.readStream.format("lake_cdc")
+        .option("path", t.path)
+        .option("startingVersion", str(versions[2]))
+        .load()
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema(src.schema).parquet(out).select(
+        "user_id", "event_type", "value", "ts", "change_lsn", "change_type"
     )

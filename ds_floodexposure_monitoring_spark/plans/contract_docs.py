@@ -28,6 +28,19 @@ from .spec import QuerySpec, table
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+def _tmpbase() -> str:
+    """Per-PROCESS scratch base for staged-table scaffolds. The roots
+    are deterministic per (tag, sf) so a process reuses its own staged
+    tables across calls, but two processes (a pytest run and a driver
+    sweep, say) must never share one: a rebuild rmtree's the directory
+    out from under the other process's open snapshot."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-run-{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 JACCARD_T = 0.55
 KNN_QUERY_MOD = 50
 KNN_QUERY_LIMIT = 32  # constant cap: the query set never grows with the corpus
@@ -421,7 +434,7 @@ def _neardup_index_shared(spark: SparkSession, sf: str):
     docs = _shingle_sets(spark, sf)
     cut = docs.agg(F.max("doc_id")).collect()[0][0] * 2 // 3
     h = hashlib.md5(f"{sf}|ndidx".encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-ndidx-{h}")
+    d = os.path.join(_tmpbase(), f"sparkgraft-ndidx-{h}")
     shutil.rmtree(d, ignore_errors=True)
     idx = create_index(spark, d, n_buckets=8)
     half = cut // 2
@@ -1029,7 +1042,7 @@ def _ann_index_shared(spark: SparkSession, sf: str):
         CODEBOOK_K,
     )
     h = hashlib.md5(f"{sf}|annidx".encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-annidx-{h}")
+    d = os.path.join(_tmpbase(), f"sparkgraft-annidx-{h}")
     shutil.rmtree(d, ignore_errors=True)
     idx = create_ann_index(
         spark, d, [(r["vec_id"], r["v"]) for r in crows], n_buckets=8
@@ -1383,7 +1396,7 @@ def _lake_documents_by_lang_shared(spark: SparkSession, sf: str):
             return t
     docs = table(spark, sf, "documents")
     h = hashlib.md5(f"{sf}|lakedocs".encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"sparkgraft-lakedocs-{h}")
+    d = os.path.join(_tmpbase(), f"sparkgraft-lakedocs-{h}")
     shutil.rmtree(d, ignore_errors=True)
     t = LakeTable.create(
         spark,

@@ -1,0 +1,243 @@
+"""Python Data Source API adapter (sources/pyds.py): the lake as
+``spark.read.format("lake")`` / ``spark.readStream.format("lake_cdc")``.
+
+Every read path is checked for EXACT row equality against the engine's
+own DataFrame scan (`LakeTable.scan` / `scan_changes`), which the
+oracle suite already proves exact — so these tests pin the Arrow
+per-bucket fold to the JVM fold, bit for bit."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_floodexposure_monitoring_spark.datagen.transcripts import transcript_schema
+from ds_floodexposure_monitoring_spark.operators.compact import compact, merge_append
+from ds_floodexposure_monitoring_spark.operators.dml import delete_where_mor
+from ds_floodexposure_monitoring_spark.sources.lake import DataFile, LakeTable
+from ds_floodexposure_monitoring_spark.sources.pyds import (
+    _prune_files,
+    register_lake_sources,
+)
+
+DDL = "lsn long, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _batch(spark, lo, n, tag, n_convs=40):
+    # text depends only on the LSN (not the delivering batch): a
+    # redelivered event is byte-identical, per the CDC contract — an
+    # LSN tie with divergent payloads would make ANY fold ambiguous
+    rows = [
+        (lo + i, f"c{(lo + i) % n_convs:03d}", (lo + i) % 7, "user",
+         f"t-{lo + i}", None,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=lo + i))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, DDL)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def registered(spark):
+    register_lake_sources(spark)
+    return spark
+
+
+@pytest.fixture()
+def staged(registered, tmpdir_path):
+    """3-batch MOR table with overlapping keys (out-of-order dupes across
+    batches), MOR tombstones, and a manifest key bloom."""
+    spark = registered
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), transcript_schema(),
+        n_buckets=4, key_bloom_bits=1 << 13,
+    )
+    versions = [t.version]
+    for i in range(3):
+        # overlapping lo ranges: later batches re-deliver earlier keys
+        # with higher LSNs — the LWW fold decides
+        merge_append(t, _batch(spark, i * 120, 200, f"b{i}"), batch_id=f"b{i}")
+        versions.append(t.version)
+    delete_where_mor(t, "turn_idx = 3")
+    versions.append(t.version)
+    return t, versions
+
+
+def _load(spark, t, **opts):
+    r = spark.read.format("lake").option("path", t.path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_matches_scan_mor(registered, staged):
+    t, _ = staged
+    got = _load(registered, t)
+    assert got.schema == t.scan().schema
+    assert _rows(got) == _rows(t.scan())
+
+
+def test_batch_read_matches_scan_resolved(registered, staged):
+    t, _ = staged
+    compact(t, min_files_per_bucket=1)
+    assert t.current()["requires_resolve"] is False
+    got = _load(registered, t)
+    # resolved snapshot: partition per FILE (plain-parquet parallelism)
+    assert _rows(got) == _rows(t.scan())
+
+
+def test_time_travel_version_and_timestamp(registered, staged):
+    t, versions = staged
+    v2 = versions[2]
+    got = _load(registered, t, version=str(v2))
+    assert _rows(got) == _rows(t.scan(version=v2))
+    at = t.snapshot(v2)["committed_at"]
+    got_ts = _load(registered, t, timestampAsOf=str(at))
+    assert _rows(got_ts) == _rows(t.scan(version=v2))
+
+
+def test_filter_pushdown_exact_and_pruning(registered, staged):
+    t, _ = staged
+    got = _load(registered, t).where(F.col("conv_id") == "c007")
+    want = t.scan().where(F.col("conv_id") == "c007")
+    assert _rows(got) == _rows(want)
+    # range predicate path
+    got_r = _load(registered, t).where(
+        (F.col("conv_id") >= "c030") & (F.col("conv_id") < "c032")
+    )
+    want_r = t.scan().where(
+        (F.col("conv_id") >= "c030") & (F.col("conv_id") < "c032")
+    )
+    assert _rows(got_r) == _rows(want_r)
+
+
+def test_prune_files_skips_via_bloom(staged):
+    t, _ = staged
+    snap = t.current()
+    entries = list(snap["files"])
+    kept = _prune_files(entries, False, ["c007"], None, None)
+    # a single conversation must not keep every delta file: the bloom
+    # (backed by 4-bucket hashing) cuts the set well below the total
+    assert 0 < len(kept) < len(entries)
+    # soundness: the kept set yields the same rows as the full scan
+    kept_files = [DataFile.from_json(d) for d in kept]
+    got = t.scan(files=kept_files).where(F.col("conv_id") == "c007")
+    want = t.scan().where(F.col("conv_id") == "c007")
+    assert _rows(got) == _rows(want)
+
+
+def test_internal_column_mirrors_match_lake():
+    """pyds mirrors lake's internal column names instead of importing
+    them (by-value pickling contract) — pin them equal."""
+    from ds_floodexposure_monitoring_spark.sources import lake, pyds
+
+    assert pyds._LSN == lake.LSN_COL
+    assert pyds._TOMBSTONE == lake.TOMBSTONE_COL
+    assert pyds._DML_SEQ == lake.DML_SEQ_COL
+    assert pyds._flsn("x") == lake.flsn_col("x")
+    # snapshot file naming used by the pure-json readers
+    t_path = lake.LakeTable.__dict__["_snap_path"]
+    assert "v{version:08d}.json" in __import__("inspect").getsource(t_path)
+
+
+def test_partial_update_table(registered, tmpdir_path):
+    spark = registered
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "pu"), transcript_schema(),
+        n_buckets=4, merge_engine="partial-update",
+    )
+    full = _batch(spark, 0, 150, "base")
+    merge_append(t, full, batch_id="b0")
+    # patch batch: only `text` carried (others null → must NOT clobber)
+    patch = full.select(
+        (F.col("lsn") + 1000).alias("lsn"), "conv_id", "turn_idx",
+        F.lit(None).cast("string").alias("role"),
+        F.concat(F.lit("patched-"), "text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    ).where(F.col("turn_idx") % 2 == 0)
+    merge_append(t, patch, batch_id="b1")
+    got = _load(spark, t)
+    assert _rows(got) == _rows(t.scan())
+    one = got.where("turn_idx % 2 = 0").select("role", "text").first()
+    assert one.role == "user" and one.text.startswith("patched-")
+
+
+def test_schema_evolution_and_rename(registered, tmpdir_path):
+    spark = registered
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "ev"), transcript_schema(), n_buckets=2
+    )
+    merge_append(t, _batch(spark, 0, 80, "b0"), batch_id="b0")
+    evolved = _batch(spark, 80, 80, "b1").withColumn(
+        "score", (F.col("lsn") % 10).cast("double")
+    )
+    merge_append(t, evolved, batch_id="b1")
+    t.rename_column("tool", "tool_name")
+    got = _load(spark, t)
+    assert got.schema == t.scan().schema
+    assert "tool_name" in got.columns and "score" in got.columns
+    assert _rows(got) == _rows(t.scan())
+
+
+def test_cdc_batch_read(registered, staged):
+    t, versions = staged
+    got = (
+        registered.read.format("lake_cdc")
+        .option("path", t.path)
+        .option("fromVersion", str(versions[2]))
+        .load()
+    )
+    want = t.scan_changes(versions[2])
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+    # bounded window incl. only the delete commit
+    got_d = (
+        registered.read.format("lake_cdc")
+        .option("path", t.path)
+        .option("fromVersion", str(versions[3]))
+        .option("toVersion", str(versions[4]))
+        .load()
+    )
+    want_d = t.scan_changes(versions[3], versions[4])
+    assert _rows(got_d) == _rows(want_d)
+    assert got_d.where("change_type = 'delete'").count() > 0
+
+
+def test_cdc_stream_and_checkpoint_resume(registered, staged, tmpdir_path):
+    spark = registered
+    t, versions = staged
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    out = os.path.join(tmpdir_path, "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_cdc")
+            .option("path", t.path)
+            .option("startingVersion", str(versions[2]))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = spark.read.schema(t.scan_changes(versions[2]).schema).parquet(out)
+    want1 = t.scan_changes(versions[2])
+    assert _rows(got1) == _rows(want1)
+
+    # new commit, SAME checkpoint: resume emits exactly the new diff
+    head = t.version
+    merge_append(t, _batch(spark, 500, 60, "b3"), batch_id="b3")
+    run_once()
+    got2 = spark.read.schema(want1.schema).parquet(out)
+    extra = t.scan_changes(head)
+    assert len(_rows(got2)) == len(_rows(got1)) + len(_rows(extra))
+    assert _rows(got2) == sorted(_rows(got1) + _rows(extra))
