@@ -85,6 +85,7 @@ _CHECK_PRIORITY = (
     "pyds_scan",
     "pyds_pushdown_lookup",
     "streaming_pyds_change_feed",
+    "streaming_lake_replication",
     "quality_audit",
     "metadata_sum",
     "partition_sums_metadata",
@@ -133,13 +134,12 @@ _CHECK_PRIORITY = (
     "union_dedup_except",
     "rollup_grouping_sets",
     "seasonal_climatology",
-    "threshold_nullout",
     "transcript_assembly",
     # dedup_exact, minhash_lsh_pairs(+_xxh), neardup_clusters,
     # ngram_jaccard_pairs, transcript_assembly_arrow, rank_avg_ties,
-    # dropna_clean and collect_qualifying_years dropped from the
-    # backfill to keep the window at 50 as round-5 queries land — their
-    # r3 rows stay green in the cross-round union
+    # dropna_clean, collect_qualifying_years and threshold_nullout
+    # dropped from the backfill to keep the window at 50 as round-5
+    # queries land — their r3 rows stay green in the cross-round union
 )
 
 

@@ -93,6 +93,7 @@ HEADLINE = [
     "pyds_scan",
     "pyds_pushdown_lookup",
     "streaming_pyds_change_feed",
+    "streaming_lake_replication",
 ]
 
 # sf0.1 -> 16M events: the same production-size-batch regime as

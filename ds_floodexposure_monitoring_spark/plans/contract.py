@@ -3230,3 +3230,55 @@ def streaming_pyds_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.schema(src.schema).parquet(out).select(
         "user_id", "event_type", "value", "ts", "change_lsn", "change_type"
     )
+
+
+@_reg(
+    "streaming_lake_replication",
+    """
+    SELECT user_id, event_type, value, ts FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+    """,
+    note="lake-to-lake streaming replication in plain Spark API: "
+         "readStream.format('lake_cdc') tails the staged table's change "
+         "feed, foreachBatch(lake_sink(replica)) MERGEs each epoch "
+         "through the one-shuffle skew-split write path, exactly-once "
+         "via batch_id = (tag, epoch) against the source's versioned "
+         "offsets. Oracle: the replica's live state must equal the "
+         "source's final LWW state (streaming/sink.py).",
+)
+def streaming_lake_replication(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.lake import LakeTable
+    from ..sources.pyds import register_lake_sources
+    from ..streaming.sink import lake_sink
+
+    src, versions = _staged_events_table_shared(spark, sf)
+    register_lake_sources(spark)
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    root = os.path.join(_tmpbase(), f"sparkgraft-lakerepl-{h}")
+    shutil.rmtree(root, ignore_errors=True)
+    schema = T.StructType(
+        [f for f in src.schema().fields]
+    )
+    replica = LakeTable.create(
+        spark, f"{root}/t", schema, merge_keys=("user_id", "event_type"),
+        n_buckets=8,
+    )
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        spark.readStream.format("lake_cdc")
+        .option("path", src.path)
+        .option("startingVersion", str(versions[0]))
+        .load()
+        .writeStream.foreachBatch(lake_sink(replica, tag="lakerepl"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return replica.scan().select("user_id", "event_type", "value", "ts")
