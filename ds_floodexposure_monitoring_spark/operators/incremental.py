@@ -325,23 +325,41 @@ def refresh_join(
     ):
         return RefreshJoinStats(0, 0, 0, from_versions, to_versions, None)
 
-    dl_keys = left.scan_changes(lv0, lv1).select(*lkeys).distinct()
-    dr_vals = right.scan_changes(rv0, rv1).select(*on).distinct()
+    # Persist BOTH feeds' key images before anything consumes them:
+    # dl_keys is read by the bucket-set collect, the changed union, and
+    # (via changed) the anti join — unpersisted, each materialization
+    # re-runs the full left snapshot diff (two scans of the touched
+    # buckets); the key image itself is tiny (distinct changed keys).
+    dl_keys = (
+        left.scan_changes(lv0, lv1).select(*lkeys).distinct().persist()
+    )
+    dr_vals = (
+        right.scan_changes(rv0, rv1).select(*on).distinct().persist()
+    )
 
     # Bucket-prune the live-left scans when the join column IS the left
     # bucket key: every affected row lives in a bucket named by either
-    # changed-key set (dl keys hash on lkeys[0]; dim fanout rows hash on
-    # their join value — the same column). The bucket-set collects are
-    # bounded by n_buckets.
+    # changed-key set. The LEFT side's buckets come from METADATA alone
+    # — scan_changes prunes to buckets whose file sets differ, so every
+    # dl key's bucket is in that set by construction; hashing dl_keys
+    # through a Spark job would execute the full left diff just to
+    # rediscover it. Only the dim feed's changed join values need the
+    # hash job (their left bucket is hash(value), unknowable from left
+    # metadata); that feed is the small side by the n:1 contract.
     live_files = None
     if on[0] == lkeys[0]:
-        brows = (
-            dl_keys.select(left.bucket_expr(key_col=lkeys[0]).alias("b"))
-            .union(dr_vals.select(left.bucket_expr(key_col=on[0]).alias("b")))
-            .distinct()
-            .collect()
-        )
-        bset = {r["b"] for r in brows}
+        by_b: dict[int, list[set, set]] = {}
+        for i, v in enumerate((lv0, lv1)):
+            for d in left.snapshot(v)["files"]:
+                by_b.setdefault(d["bucket"], [set(), set()])[i].add(d["path"])
+        bset = {b for b, (o, n) in by_b.items() if o != n}
+        if _files(right, rv0) != _files(right, rv1):
+            brows = (
+                dr_vals.select(left.bucket_expr(key_col=on[0]).alias("b"))
+                .distinct()
+                .collect()
+            )
+            bset |= {r["b"] for r in brows}
         live_files = [
             f for f in left.files(left.snapshot(lv1)) if f.bucket in bset
         ]
@@ -387,6 +405,8 @@ def refresh_join(
         )
     finally:
         changed.unpersist()
+        dl_keys.unpersist()
+        dr_vals.unpersist()
     return RefreshJoinStats(
         changed_keys=stats.updated + stats.inserted + stats.deleted,
         upserted_rows=stats.updated + stats.inserted,

@@ -241,3 +241,22 @@ def test_cdc_stream_and_checkpoint_resume(registered, staged, tmpdir_path):
     extra = t.scan_changes(head)
     assert len(_rows(got2)) == len(_rows(got1)) + len(_rows(extra))
     assert _rows(got2) == sorted(_rows(got1) + _rows(extra))
+
+
+def test_sql_temp_view_using_lake(registered, staged):
+    """The DS makes lake tables reachable from PURE SQL — no Python
+    classes at the call site (CREATE TEMPORARY VIEW ... USING lake)."""
+    t, _ = staged
+    registered.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW lake_sql_v "
+        f"USING lake OPTIONS (path '{t.path}')"
+    )
+    got = registered.sql(
+        "SELECT conv_id, count(*) AS n FROM lake_sql_v "
+        "GROUP BY conv_id ORDER BY conv_id"
+    )
+    want = (
+        t.scan().groupBy("conv_id").count()
+        .withColumnRenamed("count", "n").orderBy("conv_id")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
