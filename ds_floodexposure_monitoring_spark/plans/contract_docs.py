@@ -34,6 +34,7 @@ def _tmpbase() -> str:
     tables across calls, but two processes (a pytest run and a driver
     sweep, say) must never share one: a rebuild rmtree's the directory
     out from under the other process's open snapshot."""
+    import os
     import tempfile
 
     d = os.path.join(tempfile.gettempdir(), f"sparkgraft-run-{os.getpid()}")

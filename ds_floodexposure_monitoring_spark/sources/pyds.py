@@ -19,13 +19,16 @@ Why this is scale-correct (not a convenience shim):
   plain parallel parquet.
 - **Filter pushdown prunes FILES, not just rows.** ``pushFilters``
   keeps equality / IN / range predicates on the first merge key and
-  probes each data file's manifest entry (min/max key envelope + the
-  manifest key bloom) before any I/O — the same metadata-only pruning
-  as :meth:`LakeTable.prune_for_keys`, with no Spark job. Pruning on
-  the first merge key is MOR-sound: every version of a key carries the
-  key, so a kept file set always contains each surviving key's full
-  version chain. All filters are returned to Spark for re-application,
-  so bloom false-keeps can never leak rows.
+  probes each data file's manifest entry — the key's BUCKET first (the
+  exact on-write ``pmod(xxhash64(key, seed), n)`` hash, recomputed by a
+  pure-Python XXH64 whose bit-parity with Spark's expression is pinned
+  by tests), then the min/max key envelope, then the manifest key
+  bloom — before any I/O: the full :meth:`LakeTable.prune_for_keys`
+  pruning stack with no Spark job at all. Pruning on the first merge
+  key is MOR-sound: every version of a key carries the key, so a kept
+  file set always contains each surviving key's full version chain.
+  All filters are returned to Spark for re-application, so bloom
+  false-keeps can never leak rows.
 - **Offsets are snapshot versions.** The streaming source checkpoints
   ``{"version": v}``; each micro-batch is the exact snapshot diff
   ``(start, end]`` (the same semantics as :meth:`LakeTable.
@@ -109,8 +112,20 @@ def _head_version(root: str, branch: str) -> int:
 
 def _load_snap(root: str, version: int) -> dict:
     path = os.path.join(root, "metadata", f"v{version:08d}.json")
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        # the scan_changes retention contract, surfaced with the remedy:
+        # a checkpoint that outlived expire_snapshots must fail loudly
+        # (silently diffing from a newer base would emit a WRONG feed)
+        raise ValueError(
+            f"snapshot v{version} of lake table {root} is not retained "
+            "(expired by expire_snapshots). A lake_cdc checkpoint or "
+            "version option pointing at it cannot resume exactly; reset "
+            "the checkpoint / pick a retained version, or lengthen "
+            "snapshot retention past the consumer's max lag."
+        ) from None
 
 
 def _version_at(root: str, branch: str, ts: float) -> int:
@@ -389,19 +404,148 @@ def _live_project(tbl: "pa.Table", ctx: dict, target_json: dict | None = None):
 
 
 # --------------------------------------------------------------------------
+# XXH64 (public spec), matching Spark's xxhash64 expression bit-for-bit —
+# lets pushFilters compute a key's BUCKET driver-side with no Spark job,
+# so a point lookup prunes to one bucket's files before range/bloom even
+# run. Scalar Python: pushFilters sees a handful of literals, never rows.
+# Parity with org.apache.spark.sql.catalyst.expressions.XxHash64 is
+# pinned by tests/test_pyds.py over random strings/longs/ints.
+# --------------------------------------------------------------------------
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long(value: int, seed: int) -> int:
+    """Spark XXH64.hashLong: an 8-byte input."""
+    value &= _M64
+    h = (seed + _XP5 + 8) & _M64
+    h ^= (_rotl64((value * _XP2) & _M64, 31) * _XP1) & _M64
+    h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+    return _xxh_fmix(h)
+
+
+def _xxh64_int(value: int, seed: int) -> int:
+    """Spark XXH64.hashInt: a 4-byte input (int/short/byte literals and
+    columns all take this path)."""
+    value &= 0xFFFFFFFF
+    h = (seed + _XP5 + 4) & _M64
+    h ^= (value * _XP1) & _M64
+    h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+    return _xxh_fmix(h)
+
+
+def _xxh64_bytes(data: bytes, seed: int) -> int:
+    """Standard XXH64 over a byte string (Spark hashUnsafeBytes)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            k = int.from_bytes(data[i:i + 8], "little")
+            v1 = (_rotl64((v1 + k * _XP2) & _M64, 31) * _XP1) & _M64
+            k = int.from_bytes(data[i + 8:i + 16], "little")
+            v2 = (_rotl64((v2 + k * _XP2) & _M64, 31) * _XP1) & _M64
+            k = int.from_bytes(data[i + 16:i + 24], "little")
+            v3 = (_rotl64((v3 + k * _XP2) & _M64, 31) * _XP1) & _M64
+            k = int.from_bytes(data[i + 24:i + 32], "little")
+            v4 = (_rotl64((v4 + k * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = ((h * _XP1) + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h ^= (_rotl64((k * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h ^= (k * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    return _xxh_fmix(h)
+
+
+def _spark_xxhash64(value, kind: str, seed_lit: int | None) -> int:
+    """``xxhash64(key[, lit(seed)])`` as Spark evaluates it: fold over
+    children starting from seed 42 — the key via its TYPE's path
+    (``kind`` in 'string' | 'long' | 'int'; int/short/byte columns all
+    take the 4-byte path), then the seed literal via the int path (the
+    engine's BUCKET_SEED fits in int32, so ``F.lit`` makes it an
+    IntegerType child)."""
+    h = 42
+    if kind == "long":
+        h = _xxh64_long(int(value), h)
+    elif kind == "int":
+        h = _xxh64_int(int(value), h)
+    else:
+        h = _xxh64_bytes(str(value).encode("utf-8"), h)
+    if seed_lit:
+        if -(1 << 31) <= seed_lit < (1 << 31):
+            h = _xxh64_int(seed_lit, h)
+        else:
+            h = _xxh64_long(seed_lit, h)
+    return h
+
+
+def _bucket_of(value, kind: str, seed_lit: int, n_buckets: int) -> int:
+    """pmod(xxhash64(...), n_buckets) on the SIGNED hash (Java pmod ==
+    Python %, for positive modulus)."""
+    h = _spark_xxhash64(value, kind, seed_lit or None)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h % n_buckets
+
+
+# --------------------------------------------------------------------------
 # batch source: spark.read.format("lake")
 # --------------------------------------------------------------------------
 
 
-def _prune_files(entries: list[dict], integral_key: bool,
-                 eq_values: list, lo, hi) -> list[dict]:
-    """Metadata-only file skip on the first merge key: range envelope +
-    manifest bloom probe (zero file I/O, zero Spark jobs). Sound on any
-    snapshot — every version of a key carries the key — and a negative
-    bloom probe proves absence (prune_for_keys' argument). ``entries``
-    are raw manifest-entry dicts. Lazily imports the bloom kernels from
-    sources.lake — this runs driver/plan-side where the package is
-    importable, never in the include-less stream runner."""
+def _prune_files(entries: list[dict], key_kind: str | None,
+                 eq_values: list, lo, hi,
+                 n_buckets: int = 0, bucket_seed: int = 0) -> list[dict]:
+    """Metadata-only file skip on the first merge key: BUCKET (the exact
+    on-write pmod(xxhash64) hash, recomputed in pure Python — parity
+    pinned by tests), then min/max range envelope, then manifest bloom
+    probe. Zero file I/O, zero Spark jobs. Sound on any snapshot —
+    every version of a key carries the key, the bucket hash is exact,
+    and a negative bloom probe proves absence (prune_for_keys'
+    argument). ``entries`` are raw manifest-entry dicts. Lazily imports
+    the bloom kernels from sources.lake — this runs driver/plan-side
+    where the package is importable, never in the include-less stream
+    runner."""
     import base64
 
     from ds_floodexposure_monitoring_spark.sources.lake import (
@@ -409,13 +553,21 @@ def _prune_files(entries: list[dict], integral_key: bool,
         _bloom_might_contain,
     )
 
+    integral_key = key_kind in ("long", "int")
     hashes = (
         [int(h) for h in _bloom_hash64(eq_values, integral=integral_key)]
         if eq_values
         else []
     )
+    bucket_set = (
+        {_bucket_of(v, key_kind, bucket_seed, n_buckets) for v in eq_values}
+        if eq_values and key_kind and n_buckets
+        else None
+    )
     out = []
     for f in entries:
+        if bucket_set is not None and f.get("bucket") not in bucket_set:
+            continue
         mn, mx = f.get("min_key"), f.get("max_key")
         if mn is not None and mx is not None:
             if eq_values and all(v < mn or v > mx for v in eq_values):
@@ -445,9 +597,17 @@ class _LakeBatchReader(DataSourceReader):
         key0 = snap["merge_keys"][0]
         self.key0 = key0
         kt = next(f.dataType for f in schema.fields if f.name == key0)
-        self.integral_key = isinstance(
-            kt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
-        )
+        if isinstance(kt, T.StringType):
+            self.key_kind: str | None = "string"
+        elif isinstance(kt, T.LongType):
+            self.key_kind = "long"
+        elif isinstance(kt, (T.IntegerType, T.ShortType, T.ByteType)):
+            # int/short/byte columns all take Spark's 4-byte hash path
+            self.key_kind = "int"
+        else:
+            self.key_kind = None  # no metadata pruning for exotic key types
+        self.n_buckets = int(snap.get("n_buckets", 0))
+        self.bucket_seed = int(snap.get("bucket_seed", 0))
 
     def pushFilters(self, filters):
         key0 = self.key0
@@ -464,7 +624,8 @@ class _LakeBatchReader(DataSourceReader):
                 hi = f.value if hi is None else min(hi, f.value)
         if eq_values or lo is not None or hi is not None:
             self.entries = _prune_files(
-                self.entries, self.integral_key, eq_values, lo, hi
+                self.entries, self.key_kind, eq_values, lo, hi,
+                n_buckets=self.n_buckets, bucket_seed=self.bucket_seed,
             )
         # hand every filter back: Spark re-applies them row-level, so
         # bloom false-keeps and untouched predicates stay correct
@@ -706,6 +867,13 @@ class _LakeCDCStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
+        # Always the true head — no maxOffsetsPerTrigger-style clamping:
+        # this API hands latestOffset() no current-offset argument, so a
+        # restarted reader cannot clamp relative to the checkpoint and a
+        # clamp computed from its own (stale) start option could land
+        # BEHIND the committed offset, planning an inverted diff. Snapshot
+        # diffs are cheap per extra version anyway (bucket-pruned), so a
+        # long-idle checkpoint catches up in one correct batch.
         return {"version": _head_version(self.root, self.branch)}
 
     def partitions(self, start: dict, end: dict):
@@ -781,10 +949,22 @@ class LakeCDCDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         sv = self.options.get("startingversion")
-        start = (
-            int(sv) if sv is not None
-            else _head_version(self._root(), self._branch())
-        )
+        ts = self.options.get("startingtimestamp")
+        if sv is not None:
+            start = int(sv)
+        elif ts is not None:
+            try:
+                tsv = float(ts)
+            except ValueError:
+                import datetime as _dt
+
+                dtv = _dt.datetime.fromisoformat(ts)
+                if dtv.tzinfo is None:
+                    dtv = dtv.replace(tzinfo=_dt.timezone.utc)
+                tsv = dtv.timestamp()
+            start = _version_at(self._root(), self._branch(), tsv)
+        else:
+            start = _head_version(self._root(), self._branch())
         snap = self._to_snap()
         return _LakeCDCStreamReader(
             self._root(),

@@ -115,19 +115,66 @@ def test_filter_pushdown_exact_and_pruning(registered, staged):
     assert _rows(got_r) == _rows(want_r)
 
 
-def test_prune_files_skips_via_bloom(staged):
+def test_prune_files_skips_via_bucket_and_bloom(staged):
     t, _ = staged
     snap = t.current()
     entries = list(snap["files"])
-    kept = _prune_files(entries, False, ["c007"], None, None)
-    # a single conversation must not keep every delta file: the bloom
-    # (backed by 4-bucket hashing) cuts the set well below the total
+    kept = _prune_files(
+        entries, "string", ["c007"], None, None,
+        n_buckets=snap["n_buckets"], bucket_seed=snap.get("bucket_seed", 0),
+    )
+    # a single conversation must not keep every delta file: bucket
+    # pruning alone caps the kept set at one bucket's files, the bloom
+    # cuts further within it
     assert 0 < len(kept) < len(entries)
+    # bucket exactness: every kept file is in ONE bucket, and it is the
+    # bucket Spark's own hash assigns the key
+    want_b = (
+        t.spark.createDataFrame([("c007",)], "conv_id string")
+        .select(t.bucket_expr().alias("b"))
+        .first()["b"]
+    )
+    assert {f["bucket"] for f in kept} == {want_b}
     # soundness: the kept set yields the same rows as the full scan
     kept_files = [DataFile.from_json(d) for d in kept]
     got = t.scan(files=kept_files).where(F.col("conv_id") == "c007")
     want = t.scan().where(F.col("conv_id") == "c007")
     assert _rows(got) == _rows(want)
+
+
+def test_xxh64_parity_with_spark(registered):
+    """The pure-Python xxhash64 used for driver-side bucket pruning must
+    match Spark's expression bit-for-bit across types and the seeded
+    chain (a mismatch would silently prune the WRONG bucket)."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F2
+
+    from ds_floodexposure_monitoring_spark.sources.lake import LakeTable as _LT
+    from ds_floodexposure_monitoring_spark.sources.pyds import _spark_xxhash64
+
+    rnd = random.Random(11)
+    strs = ["", "a", "conv-00000017", "é中文-" * 9] + [
+        "".join(rnd.choices(_string.printable, k=rnd.randint(0, 64)))
+        for _ in range(60)
+    ]
+    longs = [0, 1, -1, 2**62, -(2**62)] + [
+        rnd.randint(-(2**63), 2**63 - 1) for _ in range(40)
+    ]
+    seed = _LT.BUCKET_SEED
+
+    def signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    df = registered.createDataFrame([(s,) for s in strs], "v string")
+    for expr, sd in ((F2.xxhash64("v"), None),
+                     (F2.xxhash64("v", F2.lit(seed)), seed)):
+        got = [r[0] for r in df.select(expr).collect()]
+        assert got == [signed(_spark_xxhash64(s, "string", sd)) for s in strs]
+    df = registered.createDataFrame([(x,) for x in longs], "v long")
+    got = [r[0] for r in df.select(F2.xxhash64("v", F2.lit(seed))).collect()]
+    assert got == [signed(_spark_xxhash64(x, "long", seed)) for x in longs]
 
 
 def test_internal_column_mirrors_match_lake():
@@ -260,3 +307,44 @@ def test_sql_temp_view_using_lake(registered, staged):
         .withColumnRenamed("count", "n").orderBy("conv_id")
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_cdc_stream_starting_timestamp(registered, staged, tmpdir_path):
+    """startingTimestamp resolves the start offset through the snapshot
+    log (branch-ancestry version_at): begin at versions[2]'s commit time."""
+    spark = registered
+    t, versions = staged
+    at = t.snapshot(versions[2])["committed_at"]
+    out2 = os.path.join(tmpdir_path, "ts_out")
+    ckpt2 = os.path.join(tmpdir_path, "ts_ckpt")
+    q2 = (
+        spark.readStream.format("lake_cdc")
+        .option("path", t.path)
+        .option("startingTimestamp", str(at))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    want2 = t.scan_changes(versions[2])
+    got2 = spark.read.schema(want2.schema).parquet(out2)
+    assert _rows(got2) == _rows(want2)
+
+
+def test_cdc_resume_past_retention_fails_loudly(registered, staged):
+    """A lake_cdc read from an EXPIRED snapshot must refuse with the
+    remedy named — never silently diff from a different base."""
+    t, versions = staged
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(Exception) as ei:
+        (
+            registered.read.format("lake_cdc")
+            .option("path", t.path)
+            .option("fromVersion", str(versions[1]))
+            .load()
+            .collect()
+        )
+    assert "not retained" in str(ei.value)
