@@ -325,14 +325,12 @@ def refresh_join(
     ):
         return RefreshJoinStats(0, 0, 0, from_versions, to_versions, None)
 
-    # Persist BOTH feeds' key images before anything consumes them:
-    # dl_keys is read by the bucket-set collect, the changed union, and
-    # (via changed) the anti join — unpersisted, each materialization
-    # re-runs the full left snapshot diff (two scans of the touched
-    # buckets); the key image itself is tiny (distinct changed keys).
-    dl_keys = (
-        left.scan_changes(lv0, lv1).select(*lkeys).distinct().persist()
-    )
+    # dl_keys flows only into `changed` (itself persisted below), so the
+    # full left diff executes exactly once — no persist needed. dr_vals
+    # is read twice (the bucket-set hash job and, via the fanout semi
+    # join, `changed`'s materialization): persist the tiny dim key image
+    # so the dim diff is not recomputed.
+    dl_keys = left.scan_changes(lv0, lv1).select(*lkeys).distinct()
     dr_vals = (
         right.scan_changes(rv0, rv1).select(*on).distinct().persist()
     )
@@ -405,7 +403,6 @@ def refresh_join(
         )
     finally:
         changed.unpersist()
-        dl_keys.unpersist()
         dr_vals.unpersist()
     return RefreshJoinStats(
         changed_keys=stats.updated + stats.inserted + stats.deleted,
