@@ -348,3 +348,47 @@ def test_cdc_resume_past_retention_fails_loudly(registered, staged):
             .collect()
         )
     assert "not retained" in str(ei.value)
+
+
+def test_cdc_diff_on_partial_update_table(registered, tmpdir_path):
+    """lake_cdc over a merge_engine='partial-update' table: the diff's
+    bucket-local PU fold must match scan_changes exactly (patches that
+    change one field surface as updates carrying the MERGED row)."""
+    spark = registered
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "pucdc"), transcript_schema(),
+        n_buckets=4, merge_engine="partial-update",
+    )
+    full = _batch(spark, 0, 120, "base")
+    merge_append(t, full, batch_id="b0")
+    v1 = t.version
+    patch = full.select(
+        (F.col("lsn") + 1000).alias("lsn"), "conv_id", "turn_idx",
+        F.lit(None).cast("string").alias("role"),
+        F.concat(F.lit("p-"), "text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    ).where(F.col("turn_idx") % 3 == 0)
+    merge_append(t, patch, batch_id="b1")
+    got = (
+        registered.read.format("lake_cdc")
+        .option("path", t.path)
+        .option("fromVersion", str(v1))
+        .load()
+    )
+    want = t.scan_changes(v1)
+    assert _rows(got) == _rows(want)
+    one = got.where("change_type = 'update'").select("role", "text").first()
+    assert one.role == "user" and one.text.startswith("p-")
+
+
+def test_branch_read_through_ds(registered, staged):
+    """The branch option reads a branch's head, isolated from main."""
+    t, _ = staged
+    b = t.create_branch("audit")
+    merge_append(b, _batch(registered, 900, 40, "bb"), batch_id="bb")
+    got_b = _load(registered, t, branch="audit")
+    got_m = _load(registered, t)
+    assert _rows(got_b) == _rows(b.scan())
+    assert _rows(got_m) == _rows(t.scan())
+    assert len(_rows(got_b)) > len(_rows(got_m))
