@@ -392,3 +392,34 @@ def test_branch_read_through_ds(registered, staged):
     assert _rows(got_b) == _rows(b.scan())
     assert _rows(got_m) == _rows(t.scan())
     assert len(_rows(got_b)) > len(_rows(got_m))
+
+
+def test_cdc_diff_across_rename(registered, tmpdir_path):
+    """A rename committed BETWEEN the two diffed snapshots: the old
+    side's files still store the pre-rename column name, and the diff
+    must forward-map them through the NEW snapshot's rename list (the
+    scan_changes rule) — otherwise every unchanged row would surface as
+    a spurious update (old null vs new value)."""
+    spark = registered
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "ren"), transcript_schema(), n_buckets=2
+    )
+    merge_append(t, _batch(spark, 0, 100, "b0"), batch_id="b0")
+    v1 = t.version
+    t.rename_column("tool", "tool_name")
+    merge_append(t, _batch(spark, 300, 30, "b1"), batch_id="b1")
+    got = (
+        registered.read.format("lake_cdc")
+        .option("path", t.path)
+        .option("fromVersion", str(v1))
+        .load()
+    )
+    want = t.scan_changes(v1)
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+    # the rename alone must not produce updates for untouched keys: the
+    # only changes are batch b1's 30 events' keys
+
+    n_expected = want.count()
+    assert got.count() == n_expected
+    assert n_expected <= 30
